@@ -1,0 +1,150 @@
+"""Codec configuration — the frozen spec every stage shares.
+
+The reference (`hsc/modeling.py :: ConvolutionalMatchingPursuit.computeCoefficients`,
+`hsc/dataset.py :: MultilevelDictionary`) passes plain kwargs (`nbNonzeroCoefs`,
+`toleranceSnr`, `nbBlocks`, `singletonWeight`) through Python call chains.  The
+TPU rebuild freezes the whole codec contract into one dataclass that is
+serialized into the bitstream header, so decode never needs out-of-band config
+(SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+def ceil_log2(n: int) -> int:
+    """Number of bits needed to represent values in [0, n)."""
+    if n <= 1:
+        return 0
+    return (n - 1).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Full contract for one hierarchical sparse-coding codec instance.
+
+    Attributes:
+      counts: number of *learned* atoms per level, e.g. (64,) or (32, 16).
+      scales: signal-space extent (samples) of atoms per level, strictly
+        increasing, e.g. (32,) or (32, 96).  ``window_sizes`` (filter widths in
+        the previous level's coefficient space) are derived:
+        ``W[0] = scales[0]``; ``W[k] = scales[k] - scales[k-1] + 1``.
+        (Reference: `hsc/dataset.py :: scalesToWindowSizes`.)
+      block_size: samples per independently-coded signal block (the DP unit).
+      num_coefs: per-level greedy coefficient budget (max iterations).
+      tolerance_snr: optional per-level SNR (dB) early-stop target; None = run
+        the full budget.  (Reference kwarg `toleranceSnr`.)
+      singleton_weight: multiplicative selection weight (<= 1) applied to
+        singleton (passthrough) atoms at levels >= 1.  (Reference kwarg
+        `singletonWeight`.)
+      amp_bits: amplitude quantizer width (signed); 16 => codes in
+        [-32767, 32767] with a per-(block, level) float32 scale in the stream.
+    """
+
+    counts: tuple[int, ...] = (64,)
+    scales: tuple[int, ...] = (32,)
+    block_size: int = 16384
+    num_coefs: tuple[int, ...] = (512,)
+    tolerance_snr: float | None = None
+    singleton_weight: float = 0.9
+    amp_bits: int = 16
+
+    def __post_init__(self):
+        object.__setattr__(self, "counts", tuple(int(c) for c in self.counts))
+        object.__setattr__(self, "scales", tuple(int(s) for s in self.scales))
+        object.__setattr__(self, "num_coefs", tuple(int(n) for n in self.num_coefs))
+        if len(self.counts) != len(self.scales):
+            raise ValueError("counts and scales must have the same length")
+        if len(self.num_coefs) != len(self.counts):
+            raise ValueError("num_coefs must have one entry per level")
+        if any(b <= a for a, b in zip(self.scales, self.scales[1:])):
+            raise ValueError("scales must be strictly increasing")
+        if not (2 <= self.amp_bits <= 16):
+            raise ValueError("amp_bits must be in [2, 16]")
+
+    # ---- derived geometry -------------------------------------------------
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.counts)
+
+    @property
+    def window_sizes(self) -> tuple[int, ...]:
+        """Filter width per level, in the coordinate space that level encodes."""
+        w = [self.scales[0]]
+        for k in range(1, self.num_levels):
+            w.append(self.scales[k] - self.scales[k - 1] + 1)
+        return tuple(w)
+
+    @property
+    def counts_with_singletons(self) -> tuple[int, ...]:
+        """Atoms per level after singleton augmentation.
+
+        Level 0 has no singletons.  Level k >= 1 gains one passthrough atom per
+        *augmented* level-(k-1) atom (reference:
+        `hsc/dataset.py :: addSingletonBases`).
+        """
+        cws = [self.counts[0]]
+        for k in range(1, self.num_levels):
+            cws.append(self.counts[k] + cws[k - 1])
+        return tuple(cws)
+
+    @property
+    def channels(self) -> tuple[int, ...]:
+        """Input channel count per level (1 for the raw signal at level 0)."""
+        cws = self.counts_with_singletons
+        return (1,) + cws[:-1]
+
+    def seq_len(self, level: int) -> int:
+        """Length of the sequence encoded at `level` (coefficient-map length)."""
+        n = self.block_size
+        w = self.window_sizes
+        for k in range(level):
+            n = n - w[k] + 1
+        return n
+
+    def num_positions(self, level: int) -> int:
+        """Valid filter placements at `level` (no edge padding — spec choice)."""
+        return self.seq_len(level) - self.window_sizes[level] + 1
+
+    def pos_bits(self, level: int) -> int:
+        return ceil_log2(self.num_positions(level))
+
+    def atom_bits(self, level: int) -> int:
+        return ceil_log2(self.counts_with_singletons[level])
+
+    @property
+    def amp_maxcode(self) -> int:
+        return (1 << (self.amp_bits - 1)) - 1
+
+    def event_bits(self, level: int) -> int:
+        return self.pos_bits(level) + self.atom_bits(level) + self.amp_bits
+
+    # ---- serialization ----------------------------------------------------
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str | bytes) -> "CodecConfig":
+        d = json.loads(s)
+        for key in ("counts", "scales", "num_coefs"):
+            d[key] = tuple(d[key])
+        return cls(**d)
+
+
+def make_test_config(**overrides) -> CodecConfig:
+    """Small config used across the test suite (fast on CPU)."""
+    base = dict(
+        counts=(16,),
+        scales=(16,),
+        block_size=1024,
+        num_coefs=(64,),
+        tolerance_snr=None,
+    )
+    base.update(overrides)
+    return CodecConfig(**base)

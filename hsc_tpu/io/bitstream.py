@@ -1,0 +1,146 @@
+"""Bit-packed stream format (v1) — the codec's on-disk contract.
+
+The reference's entropy stage is *accounting only* (`hsc/analysis.py ::
+calculateInformationRate(s)` computes bits/s but serializes nothing —
+SURVEY.md §1 note).  BASELINE.json requires a real bitstream with bit-exact
+decode, so this module defines it:
+
+  corpus  := magic "HSCT" | u8 version=1 | u32 cfg_len | cfg JSON | u32 n_blocks
+             | block*
+  block   := u8 n_streams | stream*
+  stream  := u8 level | u32 n_events | f32 scale | payload (byte aligned)
+  payload := per event, MSB-first: position (pos_bits(level)) |
+             atom (atom_bits(level)) | code+maxcode (amp_bits, unsigned offset)
+
+Events appear in greedy selection order; the decoder sums contributions in
+stream order (the bit-exactness surface — see `hsc_tpu.oracle.mp.mp_decode`).
+Field widths are fully determined by the config in the header, so decode needs
+no out-of-band information.  Packing is vectorized NumPy on the host
+(SURVEY.md §7 H4 — variable-length streams do not fit XLA's static shapes; a
+C++ packer drop-in lives in `native/` if host packing ever bottlenecks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..config import CodecConfig
+from ..oracle.mp import LevelStream
+
+MAGIC = b"HSCT"
+VERSION = 1
+
+
+def _pack_bits(values: np.ndarray, widths: list[int]) -> bytes:
+    """Pack rows of unsigned field `values [n, nfields]` using `widths` bits
+    per field, MSB-first, padded to a byte boundary."""
+    n = values.shape[0]
+    if n == 0:
+        return b""
+    total = sum(widths)
+    bits = np.zeros((n, total), dtype=np.uint8)
+    col = 0
+    for j, wbits in enumerate(widths):
+        v = values[:, j].astype(np.uint64)
+        for b in range(wbits):
+            bits[:, col + b] = (v >> np.uint64(wbits - 1 - b)) & np.uint64(1)
+        col += wbits
+    flat = bits.reshape(-1)
+    return np.packbits(flat).tobytes()
+
+
+def _unpack_bits(data: bytes, n: int, widths: list[int]) -> np.ndarray:
+    """Inverse of `_pack_bits`: returns `[n, nfields]` uint64."""
+    total = sum(widths)
+    if n == 0:
+        return np.zeros((0, len(widths)), dtype=np.uint64)
+    flat = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * total)
+    bits = flat.reshape(n, total)
+    out = np.zeros((n, len(widths)), dtype=np.uint64)
+    col = 0
+    for j, wbits in enumerate(widths):
+        v = np.zeros(n, dtype=np.uint64)
+        for b in range(wbits):
+            v = (v << np.uint64(1)) | bits[:, col + b].astype(np.uint64)
+        out[:, j] = v
+        col += wbits
+    return out
+
+
+def stream_num_bytes(cfg: CodecConfig, level: int, n_events: int) -> int:
+    """Exact serialized size of one stream (header + padded payload)."""
+    payload_bits = n_events * cfg.event_bits(level)
+    return 1 + 4 + 4 + (payload_bits + 7) // 8
+
+
+def pack_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
+    n = int(stream.positions.shape[0])
+    maxcode = cfg.amp_maxcode
+    widths = [cfg.pos_bits(level), cfg.atom_bits(level), cfg.amp_bits]
+    vals = np.zeros((n, 3), dtype=np.uint64)
+    vals[:, 0] = stream.positions.astype(np.uint64)
+    vals[:, 1] = stream.atoms.astype(np.uint64)
+    vals[:, 2] = (stream.codes.astype(np.int64) + maxcode).astype(np.uint64)
+    head = struct.pack("<BIf", level, n, float(stream.scale))
+    return head + _pack_bits(vals, widths)
+
+
+def unpack_stream(cfg: CodecConfig, data: bytes, off: int) -> tuple[int, LevelStream, int]:
+    """Returns (level, stream, new_offset)."""
+    level, n, scale = struct.unpack_from("<BIf", data, off)
+    off += struct.calcsize("<BIf")
+    widths = [cfg.pos_bits(level), cfg.atom_bits(level), cfg.amp_bits]
+    nbytes = (n * sum(widths) + 7) // 8
+    vals = _unpack_bits(data[off : off + nbytes], n, widths)
+    off += nbytes
+    maxcode = cfg.amp_maxcode
+    stream = LevelStream(
+        positions=vals[:, 0].astype(np.int32),
+        atoms=vals[:, 1].astype(np.int32),
+        codes=(vals[:, 2].astype(np.int64) - maxcode).astype(np.int32),
+        scale=np.float32(scale),
+        energy0=0.0,
+        energy_res=0.0,
+    )
+    return level, stream, off
+
+
+def pack_corpus(
+    cfg: CodecConfig, blocks: list[list[tuple[int, LevelStream]]]
+) -> bytes:
+    """Serialize a corpus: `blocks[b]` is a list of (level, stream) pairs —
+    normally one top-level stream per block; distributed representations may
+    carry several levels."""
+    cfg_json = cfg.to_json().encode()
+    out = [MAGIC, struct.pack("<BI", VERSION, len(cfg_json)), cfg_json]
+    out.append(struct.pack("<I", len(blocks)))
+    for streams in blocks:
+        out.append(struct.pack("<B", len(streams)))
+        for level, stream in streams:
+            out.append(pack_stream(cfg, level, stream))
+    return b"".join(out)
+
+
+def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelStream]]]]:
+    if data[:4] != MAGIC:
+        raise ValueError("bad magic")
+    version, cfg_len = struct.unpack_from("<BI", data, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported version {version}")
+    off = 4 + struct.calcsize("<BI")
+    cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())
+    off += cfg_len
+    (n_blocks,) = struct.unpack_from("<I", data, off)
+    off += 4
+    blocks = []
+    for _ in range(n_blocks):
+        (n_streams,) = struct.unpack_from("<B", data, off)
+        off += 1
+        streams = []
+        for _ in range(n_streams):
+            level, stream, off = unpack_stream(cfg, data, off)
+            streams.append((level, stream))
+        blocks.append(streams)
+    return cfg, blocks

@@ -1,0 +1,241 @@
+"""NumPy oracle for convolutional matching pursuit (single-level and
+hierarchical) — the executable codec specification.
+
+Reference parity (SURVEY.md §2 C4–C7, §3.3–3.4):
+  * `hsc/modeling.py :: ConvolutionalMatchingPursuit.computeCoefficients` —
+    greedy shift-invariant MP with singleton weighting and SNR / budget stops.
+  * `hsc/modeling.py :: ConvolutionalSparseCoder.encode / reconstruct`.
+  * `hsc/modeling.py :: HierarchicalConvolutionalMatchingPursuit` /
+    `HierarchicalConvolutionalSparseCoder` — level-by-level coding where the
+    level-(k-1) coefficient map is the level-k input sequence.
+
+Deliberate spec departures from the reference (TPU-first, SURVEY.md §7 H2):
+  * The greedy score update runs in the *Gram domain*: after selecting
+    (t, f, c), scores in the ±(W-1) window are updated by subtracting
+    ``c_hat * G[f]`` — elementwise float32, bitwise reproducible on any IEEE
+    backend — instead of re-correlating an explicit residual (the reference's
+    local-update strategy, whose summation order is backend-dependent).
+    Mathematically identical; G is precomputed once on the host
+    (`MultilevelDictionary.gram`) and shared verbatim with the TPU encoder.
+  * Amplitudes are quantized *inside the loop* (closed-loop quantization):
+    the quantized value c_hat is what gets subtracted, so encoder and decoder
+    see identical state and residual error does not drift.
+  * Decode is defined as summation of ``c_hat * atom`` contributions in
+    **stream order** — a fixed sequential order making float32 reconstruction
+    bitwise identical between this oracle and the TPU decoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..config import CodecConfig
+from ..dictionary import MultilevelDictionary
+
+
+@dataclasses.dataclass
+class LevelStream:
+    """Encoded events of one level for one block.
+
+    ``positions``/``atoms``/``codes`` are parallel arrays in greedy selection
+    order; ``scale`` is the float32 amplitude dequantization step; ``energy0``
+    and ``energy_res`` are the level input / residual energies (for analysis).
+    """
+
+    positions: np.ndarray  # int32 [n]
+    atoms: np.ndarray  # int32 [n]
+    codes: np.ndarray  # int32 [n], in [-amp_maxcode, amp_maxcode]
+    scale: np.float32
+    energy0: float
+    energy_res: float
+
+    @property
+    def amplitudes(self) -> np.ndarray:
+        """Dequantized float32 amplitudes (the decoder-visible values)."""
+        return (self.codes.astype(np.float32) * np.float32(self.scale)).astype(np.float32)
+
+    def snr_db(self) -> float:
+        if self.energy_res <= 0:
+            return float("inf")
+        if self.energy0 <= 0:
+            return float("-inf")
+        return 10.0 * math.log10(self.energy0 / self.energy_res)
+
+
+def correlate_bank(x: np.ndarray, bank: np.ndarray) -> np.ndarray:
+    """Valid-mode correlation scores ``[Npos, K]`` of multichannel input
+    ``x [N, C]`` against filter bank ``[K, W, C]``.
+
+    This is the MP init step (`hsc/modeling.py` innerProducts init,
+    SURVEY.md §3.3) — on TPU it is an im2col matmul on the MXU; here it is the
+    equivalent float32 einsum.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    k, w, c = bank.shape
+    windows = np.lib.stride_tricks.sliding_window_view(x, w, axis=0)  # [Npos, C, W]
+    return np.einsum("tcw,kwc->tk", windows, bank, optimize=True).astype(np.float32)
+
+
+def mp_encode(
+    x: np.ndarray,
+    bank: np.ndarray,
+    gram: np.ndarray,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+) -> LevelStream:
+    """Greedy convolutional MP of one block against one (augmented) bank.
+
+    Reference: `hsc/modeling.py :: ConvolutionalMatchingPursuit
+    .computeCoefficients` (kwargs `nbNonzeroCoefs`, `toleranceSnr`,
+    `singletonWeight`).  Selection: argmax over |scores| x weight, tie-break
+    lowest position then lowest atom (row-major argmax over [Npos, K]).
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    k, w, _ = bank.shape
+    if n_raw is None:
+        n_raw = k
+    scores = correlate_bank(x, bank)  # [Npos, K] float32
+    npos = scores.shape[0]
+
+    weights = np.ones((k,), dtype=np.float32)
+    weights[n_raw:] = np.float32(singleton_weight)
+
+    maxcode = (1 << (amp_bits - 1)) - 1
+    # Quantizer step: covers the largest initial correlation.  Stored in the
+    # stream, so decode needs no other context.  float32 throughout.
+    peak = np.float32(np.max(np.abs(scores))) if scores.size else np.float32(0)
+    scale = np.float32(peak / np.float32(maxcode)) if peak > 0 else np.float32(0)
+
+    e0 = float(np.float32(np.sum(np.square(x, dtype=np.float32), dtype=np.float32)))
+    e_res = np.float32(e0)
+
+    positions, atoms, codes = [], [], []
+    if scale > 0:
+        for _ in range(int(num_coefs)):
+            flat = np.abs(scores) * weights[None, :]
+            idx = int(np.argmax(flat))  # first max wins: lowest t then lowest f
+            t, f = divmod(idx, k)
+            s = np.float32(scores[t, f])
+            code = int(np.clip(np.rint(np.float32(s / scale)), -maxcode, maxcode))
+            if code == 0:
+                break  # below quantizer resolution — no progress possible
+            c_hat = np.float32(np.float32(code) * scale)
+            positions.append(t)
+            atoms.append(f)
+            codes.append(code)
+            # Residual energy in the Gram domain (unit-norm atoms):
+            # ||r - c_hat d||^2 = ||r||^2 - 2 c_hat <r,d> + c_hat^2
+            e_res = np.float32(e_res - np.float32(2.0) * c_hat * s + c_hat * c_hat)
+            # Gram-domain local score update (SURVEY.md §3.3 "local update"):
+            # score[tau, g] -= c_hat * sum_u A[g,u] A[f, u+(tau-t)]
+            #               =  c_hat * G[g, f, (tau-t)+(W-1)]
+            lo = max(0, t - w + 1)
+            hi = min(npos, t + w)
+            dlo = lo - (t - w + 1)
+            scores[lo:hi, :] -= c_hat * gram[:, f, dlo : dlo + (hi - lo)].T
+            if tolerance_snr is not None and e_res > 0 and e0 > 0:
+                if 10.0 * math.log10(e0 / float(e_res)) >= tolerance_snr:
+                    break
+
+    return LevelStream(
+        positions=np.asarray(positions, dtype=np.int32),
+        atoms=np.asarray(atoms, dtype=np.int32),
+        codes=np.asarray(codes, dtype=np.int32),
+        scale=scale,
+        energy0=e0,
+        energy_res=float(max(e_res, np.float32(0))),
+    )
+
+
+def mp_decode(stream: LevelStream, bank: np.ndarray, n: int) -> np.ndarray:
+    """Reconstruct ``[N, C]`` by overlap-adding ``c_hat * bank[f]`` at each
+    event position **in stream order** (the bit-exactness surface:
+    `hsc/modeling.py :: ConvolutionalSparseCoder.reconstruct`, SURVEY.md §3.4).
+    """
+    k, w, c = bank.shape
+    out = np.zeros((n, c), dtype=np.float32)
+    amps = stream.amplitudes
+    for i in range(stream.positions.shape[0]):
+        t = int(stream.positions[i])
+        f = int(stream.atoms[i])
+        out[t : t + w, :] += amps[i] * bank[f]
+    return out
+
+
+def feature_map_from_events(stream: LevelStream, npos: int, k: int) -> np.ndarray:
+    """Dense coefficient map ``[Npos, K]`` from events (stream-order adds).
+
+    This is the level-(k) -> level-(k+1) hand-off: the map becomes the next
+    level's input sequence (`hsc/modeling.py ::
+    HierarchicalConvolutionalMatchingPursuit`, SURVEY.md §3.4).  Built from
+    *quantized* amplitudes so every level codes decoder-visible state.
+    """
+    fmap = np.zeros((npos, k), dtype=np.float32)
+    amps = stream.amplitudes
+    for i in range(stream.positions.shape[0]):
+        fmap[int(stream.positions[i]), int(stream.atoms[i])] += amps[i]
+    return fmap
+
+
+def hierarchical_encode(
+    x: np.ndarray, mld: MultilevelDictionary
+) -> list[LevelStream]:
+    """Level-by-level greedy MP (SURVEY.md §3.4).
+
+    Level 0 codes the raw signal; level k codes the quantized level-(k-1)
+    coefficient map with the singleton-augmented bank.  Returns one
+    LevelStream per level; the *top* stream alone is the compressed
+    representation (singletons carry unexplained lower structure upward).
+    """
+    cfg = mld.config
+    streams: list[LevelStream] = []
+    seq = np.asarray(x, dtype=np.float32)
+    if seq.ndim == 1:
+        seq = seq[:, None]
+    for level in range(cfg.num_levels):
+        bank = mld.augmented(level)
+        stream = mp_encode(
+            seq,
+            bank,
+            mld.gram(level),
+            num_coefs=cfg.num_coefs[level],
+            amp_bits=cfg.amp_bits,
+            tolerance_snr=cfg.tolerance_snr,
+            singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
+            n_raw=cfg.counts[level],
+        )
+        streams.append(stream)
+        if level + 1 < cfg.num_levels:
+            seq = feature_map_from_events(
+                stream, cfg.num_positions(level), bank.shape[0]
+            )
+    return streams
+
+
+def hierarchical_decode(
+    top_stream: LevelStream, mld: MultilevelDictionary, level: int | None = None
+) -> np.ndarray:
+    """Signal-space reconstruction of the top-level stream.
+
+    Spec: each event (t, f, c_hat) adds ``c_hat * representations[level][f]``
+    at sample t, in stream order.  The representations are the precomputed
+    decomposition-chain expansions (`MultilevelDictionary.representations`),
+    so this equals expanding atoms through their decompositions
+    (`hsc/modeling.py :: HierarchicalConvolutionalSparseCoder.reconstruct`)
+    but with a fixed float32 summation order — the bit-exactness surface.
+    """
+    cfg = mld.config
+    if level is None:
+        level = cfg.num_levels - 1
+    reps = mld.representations(level)  # [Ka, scales[level]]
+    bank = reps[:, :, None]  # [Ka, scale, 1]
+    # Events at level k live at coefficient positions that map 1:1 to samples.
+    return mp_decode(top_stream, bank, cfg.block_size)[:, 0]
