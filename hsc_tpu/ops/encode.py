@@ -1,0 +1,177 @@
+"""Device-side greedy convolutional matching pursuit (pure JAX path).
+
+This is the §3.3 hot loop of the reference (`hsc/modeling.py ::
+ConvolutionalMatchingPursuit.computeCoefficients`) rebuilt for XLA semantics
+(SURVEY.md §7 stage 2):
+
+  * correlation init = MXU conv (`ops.correlate`),
+  * the greedy loop = `lax.scan` over a *static* coefficient budget with a
+    `done` mask (dynamic sparsity on a static-shape compiler — SURVEY.md H3),
+  * select+subtract = flat argmax + Gram-domain windowed update via
+    dynamic_update_slice on a lag-padded score buffer,
+  * amplitudes quantized closed-loop inside the iteration, so the emitted
+    (position, atom, code) stream is identical to the NumPy oracle's —
+    float32 elementwise arithmetic in the same order on both backends.
+
+A fused Pallas kernel with VMEM-resident scores implements the same loop for
+performance (`ops.mp_kernels`); this module is the portable reference device
+path and the vmap'able building block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .correlate import correlate_bank_jax
+
+# Fixed event-buffer axis: encode outputs are padded to the static coefficient
+# budget; `count` gives the valid prefix.
+MAX_EVENTS_AXIS = 0
+
+
+class EncodedBlock(NamedTuple):
+    """Fixed-shape device encode result (valid prefix = first `count` events)."""
+
+    positions: jax.Array  # int32 [num_coefs]
+    atoms: jax.Array  # int32 [num_coefs]
+    codes: jax.Array  # int32 [num_coefs]
+    count: jax.Array  # int32 scalar
+    scale: jax.Array  # float32 scalar
+    energy0: jax.Array  # float32 scalar
+    energy_res: jax.Array  # float32 scalar
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_coefs",
+        "amp_bits",
+        "tolerance_snr",
+        "singleton_weight",
+        "n_raw",
+    ),
+)
+def mp_encode_jax(
+    x: jax.Array,
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+) -> EncodedBlock:
+    """Encode one block ``x [N, C]`` against ``bank [K, W, C]``.
+
+    `gram_t` is the *transposed* Gram tensor ``gram.transpose(1, 0, 2)``
+    (shape [K, K, 2W-1]) so that ``gram_t[f][g, d] = G[g, f, d]`` — the row
+    gathered per iteration is contiguous.  Must be the exact float32 array
+    from `MultilevelDictionary.gram` (shared with the oracle — SURVEY.md H2).
+    """
+    k, w, c = bank.shape
+    if n_raw is None:
+        n_raw = k
+    scores0 = correlate_bank_jax(x, bank)  # [K, Npos] f32
+    npos = scores0.shape[1]
+    lag = 2 * w - 1
+
+    maxcode = jnp.float32((1 << (amp_bits - 1)) - 1)
+    peak = jnp.max(jnp.abs(scores0))
+    scale = jnp.where(peak > 0, peak / maxcode, jnp.float32(0))
+
+    weights = jnp.where(
+        jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
+    )
+
+    e0 = jnp.sum(jnp.square(x.astype(jnp.float32)))
+    if tolerance_snr is not None:
+        snr_thr = e0 * jnp.float32(10.0 ** (-tolerance_snr / 10.0))
+    else:
+        snr_thr = jnp.float32(-1.0)  # never reached (e_res >= 0)
+
+    # Lag-padded score buffer: real position p lives at column p + (W-1); the
+    # Gram update window for a pick at p is then the static-size slice
+    # [:, p : p + 2W-1] regardless of edge clipping (pad columns absorb the
+    # out-of-range lags and are excluded from the argmax).
+    scores_pad = jnp.zeros((k, npos + 2 * w - 2), dtype=jnp.float32)
+    scores_pad = jax.lax.dynamic_update_slice(scores_pad, scores0, (0, w - 1))
+
+    def body(carry, _):
+        scores_pad, e_res, done, positions, atoms, codes, count = carry
+        valid = jax.lax.dynamic_slice(scores_pad, (0, w - 1), (k, npos))
+        weighted = jnp.abs(valid) * weights[:, None]
+        idx = jnp.argmax(weighted.reshape(-1))  # first max: lowest f, then t
+        f = (idx // npos).astype(jnp.int32)
+        t = (idx % npos).astype(jnp.int32)
+        s = valid[f, t]
+        code = jnp.clip(jnp.rint(s / scale), -maxcode, maxcode).astype(jnp.int32)
+        emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+        c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+
+        positions = positions.at[count].set(jnp.where(emit, t, positions[count]))
+        atoms = atoms.at[count].set(jnp.where(emit, f, atoms[count]))
+        codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+        count = count + emit.astype(jnp.int32)
+
+        # Barriers force multiply-round-add-round (no FMA contraction) so the
+        # float32 state trajectory is bitwise the oracle's (SURVEY.md H2).
+        e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s)
+        e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+        e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+        window = jax.lax.dynamic_slice(scores_pad, (0, t), (k, lag))
+        window = window - jax.lax.optimization_barrier(c_hat * gram_t[f])
+        scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, t))
+
+        done = jnp.logical_or(
+            jnp.logical_or(done, code == 0),
+            jnp.logical_and(emit, e_res <= snr_thr),
+        )
+        return (scores_pad, e_res, done, positions, atoms, codes, count), None
+
+    init = (
+        scores_pad,
+        e0,
+        scale <= 0,
+        jnp.zeros((num_coefs,), dtype=jnp.int32),
+        jnp.zeros((num_coefs,), dtype=jnp.int32),
+        jnp.zeros((num_coefs,), dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    (scores_pad, e_res, done, positions, atoms, codes, count), _ = jax.lax.scan(
+        body, init, None, length=num_coefs
+    )
+    return EncodedBlock(
+        positions=positions,
+        atoms=atoms,
+        codes=codes,
+        count=count,
+        scale=scale,
+        energy0=e0,
+        energy_res=jnp.maximum(e_res, jnp.float32(0)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("npos", "k"))
+def feature_map_jax(
+    encoded: EncodedBlock, *, npos: int, k: int
+) -> jax.Array:
+    """Dense coefficient map ``[Npos, K]`` from device events, accumulated in
+    stream order (sequential scan — duplicate (t, f) picks must sum in the
+    same float32 order as the oracle; SURVEY.md §3.4 hand-off)."""
+    amps = encoded.codes.astype(jnp.float32) * encoded.scale
+    n = encoded.positions.shape[0]
+    mask = jnp.arange(n) < encoded.count
+
+    def body(fmap, i):
+        val = jnp.where(mask[i], amps[i], jnp.float32(0))
+        fmap = fmap.at[encoded.positions[i], encoded.atoms[i]].add(val)
+        return fmap, None
+
+    fmap0 = jnp.zeros((npos, k), dtype=jnp.float32)
+    fmap, _ = jax.lax.scan(body, fmap0, jnp.arange(n))
+    return fmap

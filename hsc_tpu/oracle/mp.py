@@ -66,17 +66,20 @@ class LevelStream:
 
 
 def correlate_bank(x: np.ndarray, bank: np.ndarray) -> np.ndarray:
-    """Valid-mode correlation scores ``[Npos, K]`` of multichannel input
+    """Valid-mode correlation scores ``[K, Npos]`` of multichannel input
     ``x [N, C]`` against filter bank ``[K, W, C]``.
 
     This is the MP init step (`hsc/modeling.py` innerProducts init,
     SURVEY.md §3.3) — on TPU it is an im2col matmul on the MXU; here it is the
-    equivalent float32 einsum.
+    equivalent float32 einsum.  The ``[K, Npos]`` layout is the spec layout:
+    atoms on the sublane axis, positions on the 128-wide lane axis (long,
+    tileable), and the flat row-major argmax tie-break is therefore
+    (lowest atom, then lowest position) on both backends.
     """
     x = np.ascontiguousarray(x, dtype=np.float32)
     k, w, c = bank.shape
     windows = np.lib.stride_tricks.sliding_window_view(x, w, axis=0)  # [Npos, C, W]
-    return np.einsum("tcw,kwc->tk", windows, bank, optimize=True).astype(np.float32)
+    return np.einsum("tcw,kwc->kt", windows, bank, optimize=True).astype(np.float32)
 
 
 def mp_encode(
@@ -94,7 +97,8 @@ def mp_encode(
     Reference: `hsc/modeling.py :: ConvolutionalMatchingPursuit
     .computeCoefficients` (kwargs `nbNonzeroCoefs`, `toleranceSnr`,
     `singletonWeight`).  Selection: argmax over |scores| x weight, tie-break
-    lowest position then lowest atom (row-major argmax over [Npos, K]).
+    lowest atom then lowest position (row-major argmax over [K, Npos] — the
+    spec layout shared with the TPU encoder).
     """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
@@ -102,8 +106,8 @@ def mp_encode(
     k, w, _ = bank.shape
     if n_raw is None:
         n_raw = k
-    scores = correlate_bank(x, bank)  # [Npos, K] float32
-    npos = scores.shape[0]
+    scores = correlate_bank(x, bank)  # [K, Npos] float32
+    npos = scores.shape[1]
 
     weights = np.ones((k,), dtype=np.float32)
     weights[n_raw:] = np.float32(singleton_weight)
@@ -116,14 +120,22 @@ def mp_encode(
 
     e0 = float(np.float32(np.sum(np.square(x, dtype=np.float32), dtype=np.float32)))
     e_res = np.float32(e0)
+    # SNR stop as a float32 threshold compare (no logs in the loop) so the
+    # device encoder can reproduce the stopping decision bit-for-bit:
+    # stop when e_res <= e0 * 10^(-tol/10).
+    snr_thr = (
+        np.float32(np.float32(e0) * np.float32(10.0 ** (-tolerance_snr / 10.0)))
+        if tolerance_snr is not None
+        else None
+    )
 
     positions, atoms, codes = [], [], []
     if scale > 0:
         for _ in range(int(num_coefs)):
-            flat = np.abs(scores) * weights[None, :]
-            idx = int(np.argmax(flat))  # first max wins: lowest t then lowest f
-            t, f = divmod(idx, k)
-            s = np.float32(scores[t, f])
+            flat = np.abs(scores) * weights[:, None]
+            idx = int(np.argmax(flat))  # first max wins: lowest f then lowest t
+            f, t = divmod(idx, npos)
+            s = np.float32(scores[f, t])
             code = int(np.clip(np.rint(np.float32(s / scale)), -maxcode, maxcode))
             if code == 0:
                 break  # below quantizer resolution — no progress possible
@@ -135,15 +147,14 @@ def mp_encode(
             # ||r - c_hat d||^2 = ||r||^2 - 2 c_hat <r,d> + c_hat^2
             e_res = np.float32(e_res - np.float32(2.0) * c_hat * s + c_hat * c_hat)
             # Gram-domain local score update (SURVEY.md §3.3 "local update"):
-            # score[tau, g] -= c_hat * sum_u A[g,u] A[f, u+(tau-t)]
+            # score[g, tau] -= c_hat * sum_u A[g,u] A[f, u+(tau-t)]
             #               =  c_hat * G[g, f, (tau-t)+(W-1)]
             lo = max(0, t - w + 1)
             hi = min(npos, t + w)
             dlo = lo - (t - w + 1)
-            scores[lo:hi, :] -= c_hat * gram[:, f, dlo : dlo + (hi - lo)].T
-            if tolerance_snr is not None and e_res > 0 and e0 > 0:
-                if 10.0 * math.log10(e0 / float(e_res)) >= tolerance_snr:
-                    break
+            scores[:, lo:hi] -= c_hat * gram[:, f, dlo : dlo + (hi - lo)]
+            if snr_thr is not None and e_res <= snr_thr:
+                break
 
     return LevelStream(
         positions=np.asarray(positions, dtype=np.int32),

@@ -7,12 +7,19 @@ Must be set before the first jax import anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon (the
+# TPU relay), so plain env vars are too late here — override via jax.config
+# before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -23,11 +23,11 @@ def test_correlate_bank_matches_bruteforce(mld1):
     bank = mld1.augmented(0)
     scores = correlate_bank(x, bank)
     k, w, _ = bank.shape
-    assert scores.shape == (64 - w + 1, k)
+    assert scores.shape == (k, 64 - w + 1)
     for t in (0, 10, 48):
         for f in (0, 7):
             ref = float(np.dot(x[t : t + w, 0], bank[f, :, 0]))
-            assert abs(scores[t, f] - ref) < 1e-4
+            assert abs(scores[f, t] - ref) < 1e-4
 
 
 def _encode(signal, mld, **kw):
