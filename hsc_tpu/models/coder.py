@@ -1,0 +1,294 @@
+"""User-facing coder classes — the TPU counterparts of the reference API.
+
+Reference parity (SURVEY.md §2 C4–C7):
+  * `hsc/modeling.py :: ConvolutionalMatchingPursuit` — here a device greedy
+    MP bound to one (bank, Gram) pair, batched over blocks with `vmap`.
+  * `hsc/modeling.py :: ConvolutionalSparseCoder` — encode/reconstruct pair.
+  * `hsc/modeling.py :: HierarchicalConvolutionalSparseCoder` /
+    `HierarchicalConvolutionalMatchingPursuit` — level-by-level pipeline where
+    the quantized level-(k-1) coefficient map is the level-k input.
+
+Unlike the reference's per-signal Python orchestration, batches of blocks are
+first-class: `encode_batch` is one jit'd vmap'd computation (SURVEY.md §3.3
+"batched blocks via vmap"), and the corpus pipeline (encode → host bit-pack →
+decode) is the config-2 path of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CodecConfig
+from ..dictionary import MultilevelDictionary
+from ..io import pack_corpus, unpack_corpus
+from ..ops.decode import mp_decode_jax
+from ..ops.encode import EncodedBlock, feature_map_jax, mp_encode_jax
+from ..oracle.mp import LevelStream
+
+
+def _to_level_stream(enc: EncodedBlock) -> LevelStream:
+    """Trim a fixed-shape device result to a host LevelStream (valid prefix)."""
+    n = int(enc.count)
+    return LevelStream(
+        positions=np.asarray(enc.positions[:n], dtype=np.int32),
+        atoms=np.asarray(enc.atoms[:n], dtype=np.int32),
+        codes=np.asarray(enc.codes[:n], dtype=np.int32),
+        scale=np.float32(enc.scale),
+        energy0=float(enc.energy0),
+        energy_res=float(enc.energy_res),
+    )
+
+
+def _pad_stream(stream: LevelStream, capacity: int):
+    """Pad a host LevelStream back to fixed device buffers."""
+    n = stream.positions.shape[0]
+    pos = np.zeros(capacity, np.int32)
+    atm = np.zeros(capacity, np.int32)
+    cds = np.zeros(capacity, np.int32)
+    pos[:n] = stream.positions
+    atm[:n] = stream.atoms
+    cds[:n] = stream.codes
+    return pos, atm, cds, n
+
+
+class ConvolutionalMatchingPursuit:
+    """Greedy convolutional MP on device, bound to one augmented bank.
+
+    Reference: `hsc/modeling.py :: ConvolutionalMatchingPursuit` — its
+    `computeCoefficients(X, D, nbNonzeroCoefs, toleranceSnr, singletonWeight)`
+    becomes a jit-compiled closure over static settings.
+    """
+
+    def __init__(
+        self,
+        bank: np.ndarray,
+        gram: np.ndarray,
+        *,
+        num_coefs: int,
+        amp_bits: int = 16,
+        tolerance_snr: float | None = None,
+        singleton_weight: float = 1.0,
+        n_raw: int | None = None,
+    ):
+        self.bank = jnp.asarray(bank, dtype=jnp.float32)
+        # gram_t[f] = G[:, f, :] — the contiguous per-selection update row.
+        self.gram_t = jnp.asarray(
+            np.ascontiguousarray(np.asarray(gram).transpose(1, 0, 2)),
+            dtype=jnp.float32,
+        )
+        self.num_coefs = int(num_coefs)
+        self.settings = dict(
+            num_coefs=int(num_coefs),
+            amp_bits=int(amp_bits),
+            tolerance_snr=tolerance_snr,
+            singleton_weight=float(singleton_weight),
+            n_raw=n_raw if n_raw is not None else int(bank.shape[0]),
+        )
+        self._batched = jax.jit(
+            jax.vmap(
+                functools.partial(mp_encode_jax, **self.settings),
+                in_axes=(0, None, None),
+            ),
+            static_argnames=(),
+        )
+
+    def compute_coefficients(self, x) -> EncodedBlock:
+        """Encode one block ``[N, C]`` (or ``[N]``)."""
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if x.ndim == 1:
+            x = x[:, None]
+        return mp_encode_jax(x, self.bank, self.gram_t, **self.settings)
+
+    def compute_coefficients_batch(self, xs) -> EncodedBlock:
+        """Encode ``[B, N, C]`` (or ``[B, N]``) in one jit'd vmap."""
+        xs = jnp.asarray(xs, dtype=jnp.float32)
+        if xs.ndim == 2:
+            xs = xs[:, :, None]
+        return self._batched(xs, self.bank, self.gram_t)
+
+
+class ConvolutionalSparseCoder:
+    """Single-level encode/reconstruct pair (reference:
+    `hsc/modeling.py :: ConvolutionalSparseCoder.encode / reconstruct`)."""
+
+    def __init__(self, mld: MultilevelDictionary, level: int = 0):
+        self.mld = mld
+        self.level = level
+        cfg = mld.config
+        self.cfg = cfg
+        self.mp = ConvolutionalMatchingPursuit(
+            mld.augmented(level),
+            mld.gram(level),
+            num_coefs=cfg.num_coefs[level],
+            amp_bits=cfg.amp_bits,
+            tolerance_snr=cfg.tolerance_snr,
+            singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
+            n_raw=cfg.counts[level],
+        )
+
+    def encode(self, x) -> LevelStream:
+        return _to_level_stream(self.mp.compute_coefficients(x))
+
+    def encode_batch(self, xs) -> list[LevelStream]:
+        enc = self.mp.compute_coefficients_batch(xs)
+        enc = jax.device_get(enc)
+        return [
+            LevelStream(
+                positions=enc.positions[b][: enc.count[b]].astype(np.int32),
+                atoms=enc.atoms[b][: enc.count[b]].astype(np.int32),
+                codes=enc.codes[b][: enc.count[b]].astype(np.int32),
+                scale=np.float32(enc.scale[b]),
+                energy0=float(enc.energy0[b]),
+                energy_res=float(enc.energy_res[b]),
+            )
+            for b in range(enc.count.shape[0])
+        ]
+
+    def reconstruct(self, stream: LevelStream, n: int | None = None) -> np.ndarray:
+        """Decode on device; byte-identical to the oracle decoder."""
+        if n is None:
+            n = self.cfg.seq_len(self.level)
+        pos, atm, cds, count = _pad_stream(stream, max(self.mp.num_coefs, 1))
+        out = mp_decode_jax(
+            jnp.asarray(pos),
+            jnp.asarray(atm),
+            jnp.asarray(cds),
+            jnp.int32(count),
+            jnp.float32(stream.scale),
+            self.mp.bank,
+            n=n,
+        )
+        return np.asarray(out)
+
+
+class HierarchicalConvolutionalSparseCoder:
+    """Multi-level encode/reconstruct over a MultilevelDictionary.
+
+    Reference: `hsc/modeling.py :: HierarchicalConvolutionalSparseCoder` (and
+    the hierarchical MP it wraps).  encode returns one LevelStream per level;
+    the top stream is the compressed representation (singleton passthrough
+    keeps bare lower-level structure alive — SURVEY.md §3.4).
+    """
+
+    def __init__(self, mld: MultilevelDictionary):
+        self.mld = mld
+        self.cfg = mld.config
+        self.coders = [
+            ConvolutionalSparseCoder(mld, level)
+            for level in range(self.cfg.num_levels)
+        ]
+        # decode bank = signal-space representations of the top augmented atoms
+        top = self.cfg.num_levels - 1
+        self._rep_banks = {
+            k: jnp.asarray(mld.representations(k)[:, :, None]) for k in range(top + 1)
+        }
+        self._fmap_batched = {}
+
+    # -- encode ------------------------------------------------------------
+
+    def encode(self, x) -> list[LevelStream]:
+        return [ _to_level_stream(e) for e in self._encode_device(jnp.asarray(x)) ]
+
+    def _encode_device(self, x: jax.Array) -> list[EncodedBlock]:
+        cfg = self.cfg
+        if x.ndim == 1:
+            x = x[:, None]
+        out = []
+        seq = x
+        for level in range(cfg.num_levels):
+            enc = self.coders[level].mp.compute_coefficients(seq)
+            out.append(enc)
+            if level + 1 < cfg.num_levels:
+                seq = feature_map_jax(
+                    enc,
+                    npos=cfg.num_positions(level),
+                    k=self.mld.num_atoms(level),
+                )
+        return out
+
+    def encode_batch(self, xs) -> list[list[LevelStream]]:
+        """Encode ``[B, N]`` blocks; returns per-block lists of per-level
+        streams.  Each level runs as one jit'd vmap over the whole batch."""
+        cfg = self.cfg
+        xs = jnp.asarray(xs, dtype=jnp.float32)
+        if xs.ndim == 2:
+            xs = xs[:, :, None]
+        levels: list[EncodedBlock] = []
+        seq = xs
+        for level in range(cfg.num_levels):
+            enc = self.coders[level].mp.compute_coefficients_batch(seq)
+            levels.append(enc)
+            if level + 1 < cfg.num_levels:
+                key = level
+                if key not in self._fmap_batched:
+                    self._fmap_batched[key] = jax.jit(
+                        jax.vmap(
+                            functools.partial(
+                                feature_map_jax,
+                                npos=cfg.num_positions(level),
+                                k=self.mld.num_atoms(level),
+                            )
+                        )
+                    )
+                seq = self._fmap_batched[key](enc)
+        levels = [jax.device_get(e) for e in levels]
+        nb = levels[0].count.shape[0]
+        out = []
+        for b in range(nb):
+            out.append(
+                [
+                    LevelStream(
+                        positions=e.positions[b][: e.count[b]].astype(np.int32),
+                        atoms=e.atoms[b][: e.count[b]].astype(np.int32),
+                        codes=e.codes[b][: e.count[b]].astype(np.int32),
+                        scale=np.float32(e.scale[b]),
+                        energy0=float(e.energy0[b]),
+                        energy_res=float(e.energy_res[b]),
+                    )
+                    for e in levels
+                ]
+            )
+        return out
+
+    # -- decode ------------------------------------------------------------
+
+    def reconstruct(self, top_stream: LevelStream, level: int | None = None) -> np.ndarray:
+        """Signal-space reconstruction of a top-level stream (the bit-exact
+        surface; equals `hsc_tpu.oracle.hierarchical_decode`)."""
+        cfg = self.cfg
+        if level is None:
+            level = cfg.num_levels - 1
+        pos, atm, cds, count = _pad_stream(top_stream, max(cfg.num_coefs[level], 1))
+        out = mp_decode_jax(
+            jnp.asarray(pos),
+            jnp.asarray(atm),
+            jnp.asarray(cds),
+            jnp.int32(count),
+            jnp.float32(top_stream.scale),
+            self._rep_banks[level],
+            n=cfg.block_size,
+        )
+        return np.asarray(out)[:, 0]
+
+    # -- corpus pipeline (config 2/3 of BASELINE.json) ----------------------
+
+    def encode_corpus(self, blocks: np.ndarray) -> bytes:
+        """Encode ``[B, block_size]`` and bit-pack top-level streams."""
+        top = self.cfg.num_levels - 1
+        encoded = self.encode_batch(blocks)
+        return pack_corpus(self.cfg, [[(top, streams[top])] for streams in encoded])
+
+    def decode_corpus(self, blob: bytes) -> np.ndarray:
+        """Decode a packed corpus back to ``[B, block_size]`` float32."""
+        cfg, blocks = unpack_corpus(blob)
+        if cfg != self.cfg:
+            raise ValueError("corpus config does not match this coder")
+        out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
+        for b, streams in enumerate(blocks):
+            for level, stream in streams:
+                out[b] += self.reconstruct(stream, level=level)
+        return out

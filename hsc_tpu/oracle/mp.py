@@ -91,6 +91,8 @@ def mp_encode(
     tolerance_snr: float | None = None,
     singleton_weight: float = 1.0,
     n_raw: int | None = None,
+    scores0: np.ndarray | None = None,
+    energy0: float | None = None,
 ) -> LevelStream:
     """Greedy convolutional MP of one block against one (augmented) bank.
 
@@ -99,6 +101,16 @@ def mp_encode(
     `singletonWeight`).  Selection: argmax over |scores| x weight, tie-break
     lowest atom then lowest position (row-major argmax over [K, Npos] — the
     spec layout shared with the TPU encoder).
+
+    Determinism contract (SURVEY.md §7 H2): given the same float32 initial
+    scores, the greedy loop — selection, quantization, Gram update, energy
+    recursion, stopping — is bitwise identical on every IEEE backend.  The
+    *initial correlation* is the one fp-order-dependent stage (a backend's
+    conv may reduce in any order), so `scores0`/`energy0` may be injected to
+    pin the loop to another backend's init (that is how the golden-loop tests
+    compare the TPU encoder against this oracle); left as None, they are
+    computed here in NumPy and the oracle is a self-contained encoder of the
+    same spec family.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
@@ -106,7 +118,10 @@ def mp_encode(
     k, w, _ = bank.shape
     if n_raw is None:
         n_raw = k
-    scores = correlate_bank(x, bank)  # [K, Npos] float32
+    if scores0 is None:
+        scores = correlate_bank(x, bank)  # [K, Npos] float32
+    else:
+        scores = np.array(scores0, dtype=np.float32, copy=True)
     npos = scores.shape[1]
 
     weights = np.ones((k,), dtype=np.float32)
@@ -118,7 +133,10 @@ def mp_encode(
     peak = np.float32(np.max(np.abs(scores))) if scores.size else np.float32(0)
     scale = np.float32(peak / np.float32(maxcode)) if peak > 0 else np.float32(0)
 
-    e0 = float(np.float32(np.sum(np.square(x, dtype=np.float32), dtype=np.float32)))
+    if energy0 is None:
+        e0 = float(np.float32(np.sum(np.square(x, dtype=np.float32), dtype=np.float32)))
+    else:
+        e0 = float(np.float32(energy0))
     e_res = np.float32(e0)
     # SNR stop as a float32 threshold compare (no logs in the loop) so the
     # device encoder can reproduce the stopping decision bit-for-bit:

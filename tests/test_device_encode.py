@@ -23,11 +23,14 @@ def test_correlate_matches_oracle(mld1, signal1):
 
 
 def test_encode_stream_matches_oracle(mld1, signal1):
-    """The headline golden-vector test: identical (position, atom, code)
-    streams and scale from both backends."""
+    """The headline golden-loop test: with the init correlation pinned (the
+    only fp-order-dependent stage), both backends emit identical
+    (position, atom, code) streams and scale."""
+    from pinned import oracle_encode_pinned
+
     cfg = mld1.config
     bank = mld1.augmented(0)
-    ref = mp_encode(signal1[:, None], bank, mld1.gram(0), num_coefs=cfg.num_coefs[0])
+    ref = oracle_encode_pinned(signal1[:, None], mld1, 0)
     dev = mp_encode_jax(
         jnp.asarray(signal1)[:, None],
         jnp.asarray(bank),
@@ -42,13 +45,30 @@ def test_encode_stream_matches_oracle(mld1, signal1):
     assert np.float32(dev.scale) == ref.scale
 
 
-def test_encode_snr_stop_matches_oracle(mld1, signal1):
+def test_encode_close_to_unpinned_oracle(mld1, signal1):
+    """The standalone NumPy oracle (its own init correlation) and the device
+    encoder are the same spec family: reconstruction quality must agree
+    tightly even where ulp-level init differences reorder a few picks."""
     cfg = mld1.config
     bank = mld1.augmented(0)
-    ref = mp_encode(
-        signal1[:, None], bank, mld1.gram(0), num_coefs=cfg.num_coefs[0],
-        tolerance_snr=8.0,
+    ref = mp_encode(signal1[:, None], bank, mld1.gram(0), num_coefs=cfg.num_coefs[0])
+    dev = mp_encode_jax(
+        jnp.asarray(signal1)[:, None],
+        jnp.asarray(bank),
+        jnp.asarray(_gram_t(mld1, 0)),
+        num_coefs=cfg.num_coefs[0],
     )
+    ref_snr = 10 * np.log10(ref.energy0 / max(ref.energy_res, 1e-20))
+    dev_snr = 10 * np.log10(float(dev.energy0) / max(float(dev.energy_res), 1e-20))
+    assert abs(ref_snr - dev_snr) < 0.5
+
+
+def test_encode_snr_stop_matches_oracle(mld1, signal1):
+    from pinned import oracle_encode_pinned
+
+    cfg = mld1.config
+    bank = mld1.augmented(0)
+    ref = oracle_encode_pinned(signal1[:, None], mld1, 0, tolerance_snr=8.0)
     dev = mp_encode_jax(
         jnp.asarray(signal1)[:, None],
         jnp.asarray(bank),
@@ -96,9 +116,11 @@ def test_zero_signal_device(mld1):
 
 
 def test_feature_map_matches_oracle(mld1, signal1):
+    from pinned import oracle_encode_pinned
+
     cfg = mld1.config
     bank = mld1.augmented(0)
-    ref = mp_encode(signal1[:, None], bank, mld1.gram(0), num_coefs=32)
+    ref = oracle_encode_pinned(signal1[:, None], mld1, 0, num_coefs=32)
     ref_map = feature_map_from_events(ref, cfg.num_positions(0), bank.shape[0])
     dev = mp_encode_jax(
         jnp.asarray(signal1)[:, None],

@@ -1,0 +1,109 @@
+"""Coder classes: batched device encode vs per-block oracle, corpus pipeline
+round-trip (BASELINE.json configs 1–3 on the test scale)."""
+
+import numpy as np
+
+from hsc_tpu import SignalGenerator
+from hsc_tpu.models import (
+    ConvolutionalSparseCoder,
+    HierarchicalConvolutionalSparseCoder,
+)
+from hsc_tpu.oracle import hierarchical_decode, mp_decode
+from pinned import oracle_encode_pinned, oracle_hierarchical_pinned
+from hsc_tpu.io import unpack_corpus
+from hsc_tpu.utils import snr_db
+
+
+def _streams_equal(a, b):
+    return (
+        np.array_equal(a.positions, b.positions)
+        and np.array_equal(a.atoms, b.atoms)
+        and np.array_equal(a.codes, b.codes)
+        and np.float32(a.scale) == np.float32(b.scale)
+    )
+
+
+def test_single_level_encode_matches_oracle(mld1, signal1):
+    coder = ConvolutionalSparseCoder(mld1)
+    dev = coder.encode(signal1)
+    ref = oracle_encode_pinned(signal1[:, None], mld1, 0)
+    assert _streams_equal(dev, ref)
+
+
+def test_single_level_reconstruct_bit_exact(mld1, signal1):
+    coder = ConvolutionalSparseCoder(mld1)
+    stream = coder.encode(signal1)
+    dev = coder.reconstruct(stream, n=mld1.config.block_size)
+    ref = mp_decode(stream, mld1.augmented(0), mld1.config.block_size)
+    assert dev.tobytes() == ref.tobytes()
+
+
+def test_batched_encode_matches_per_block_oracle(mld1):
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(5, mld1.config.block_size, seed=21)
+    coder = ConvolutionalSparseCoder(mld1)
+    streams = coder.encode_batch(xs)
+    assert len(streams) == 5
+    for b in range(5):
+        ref = oracle_encode_pinned(xs[b][:, None], mld1, 0)
+        assert _streams_equal(streams[b], ref), f"block {b}"
+
+
+def test_hierarchical_encode_matches_oracle(mld2, signal2):
+    coder = HierarchicalConvolutionalSparseCoder(mld2)
+    dev = coder.encode(signal2)
+    ref = oracle_hierarchical_pinned(signal2, mld2)
+    assert len(dev) == len(ref) == 2
+    for level, (d, r) in enumerate(zip(dev, ref)):
+        assert _streams_equal(d, r), f"level {level}"
+
+
+def test_hierarchical_reconstruct_bit_exact(mld2, signal2):
+    coder = HierarchicalConvolutionalSparseCoder(mld2)
+    streams = coder.encode(signal2)
+    dev = coder.reconstruct(streams[-1])
+    ref = hierarchical_decode(streams[-1], mld2)
+    assert dev.tobytes() == ref.tobytes()
+
+
+def test_corpus_pipeline_roundtrip(mld2):
+    """encode → pack → unpack → decode equals the oracle end-to-end, and the
+    compressed size equals the oracle's (identical streams, fixed format)."""
+    gen = SignalGenerator(mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)])
+    xs = gen.generate_signals(3, mld2.config.block_size, seed=33)
+    coder = HierarchicalConvolutionalSparseCoder(mld2)
+    blob = coder.encode_corpus(xs)
+
+    # oracle-side: same encode, same packing → identical bytes
+    from hsc_tpu.io import pack_corpus
+
+    oracle_blocks = []
+    for b in range(3):
+        streams = oracle_hierarchical_pinned(xs[b], mld2)
+        oracle_blocks.append([(1, streams[1])])
+    oracle_blob = pack_corpus(mld2.config, oracle_blocks)
+    assert blob == oracle_blob  # streams identical => bytes identical
+
+    # decode side: bit-exact vs oracle decode
+    decoded = coder.decode_corpus(blob)
+    for b in range(3):
+        ref = hierarchical_decode(oracle_blocks[b][0][1], mld2)
+        assert decoded[b].tobytes() == ref.tobytes()
+
+
+def test_batched_hierarchical(mld2):
+    gen = SignalGenerator(mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)])
+    xs = gen.generate_signals(4, mld2.config.block_size, seed=44)
+    coder = HierarchicalConvolutionalSparseCoder(mld2)
+    batched = coder.encode_batch(xs)
+    for b in range(4):
+        ref = oracle_hierarchical_pinned(xs[b], mld2)
+        for level in range(2):
+            assert _streams_equal(batched[b][level], ref[level]), (b, level)
+
+
+def test_reconstruction_quality(mld1, signal1):
+    coder = ConvolutionalSparseCoder(mld1)
+    stream = coder.encode(signal1)
+    recon = coder.reconstruct(stream, n=mld1.config.block_size)[:, 0]
+    assert snr_db(signal1, recon) > 3.0
