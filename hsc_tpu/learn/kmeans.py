@@ -1,0 +1,199 @@
+"""Convolutional dictionary learning — spherical k-means on the MXU.
+
+Reference parity (SURVEY.md §2 C8, §3.5): `hsc/modeling.py ::
+ConvolutionalDictionaryLearner.train` — window extraction (random offsets or
+local-energy maxima), init from samples or noise, k-means refinement
+(assign via max |correlation|, update centroids, dead-atom reset), algorithm
+selected by string kwarg (`'samples'`, `'kmean'`).
+
+TPU-first redesign (SURVEY.md §2.3 P8):
+  * assignment = one dense ``windows @ centroids^T`` matmul on the MXU
+    (sign-aware: a window can match an atom with either polarity);
+  * update = signed one-hot matmul (segment-sum on the MXU);
+  * the whole refinement step is a single jit'd function of (windows,
+    centroids) returning (sums, counts) — the *distributed* form runs the same
+    step per shard and `psum`s (sums, counts) over the mesh before the
+    normalize, keeping replicas bit-identical without a parameter server.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class KMeansStats(NamedTuple):
+    sums: jax.Array  # [K, W*C] signed assignment sums
+    counts: jax.Array  # [K] number of windows assigned
+    objective: jax.Array  # scalar: sum of |best correlation| (monotone metric)
+
+
+def extract_windows(
+    xs: np.ndarray,
+    window: int,
+    num: int,
+    *,
+    mode: str = "energy",
+    seed: int = 0,
+) -> np.ndarray:
+    """Extract ``[num, window, C]`` training windows from blocks ``[B, N, C]``.
+
+    Reference: `hsc/modeling.py :: ConvolutionalDictionaryLearner`
+    `_extract*Windows` — `mode='random'` samples uniform offsets;
+    `mode='energy'` centers windows on local energy maxima (the reference's
+    local-maxima strategy), implemented as a vectorized moving-energy argsort
+    rather than a Python scan.
+    """
+    xs = np.asarray(xs, dtype=np.float32)
+    if xs.ndim == 2:
+        xs = xs[:, :, None]
+    b, n, c = xs.shape
+    npos = n - window + 1
+    if npos <= 0:
+        raise ValueError("blocks shorter than window")
+    rng = np.random.default_rng(seed)
+    if mode == "random":
+        bi = rng.integers(0, b, size=num)
+        ti = rng.integers(0, npos, size=num)
+    elif mode == "energy":
+        # moving energy per placement, then sample positions with probability
+        # proportional to energy (keeps diversity; pure top-k collapses onto
+        # one loud event repeated `num` times)
+        e = np.square(xs).sum(axis=2)  # [B, N]
+        kernel = np.ones(window, dtype=np.float32)
+        env = np.stack([np.convolve(e[i], kernel, mode="valid") for i in range(b)])
+        p = env.reshape(-1).astype(np.float64)
+        tot = p.sum()
+        if tot <= 0:
+            p = np.full(p.shape, 1.0 / p.size)
+        else:
+            p = p / tot
+        flat = rng.choice(p.size, size=num, replace=True, p=p)
+        bi, ti = np.divmod(flat, npos)
+    else:
+        raise ValueError(f"unknown extraction mode {mode!r}")
+    out = np.zeros((num, window, c), dtype=np.float32)
+    for j in range(num):
+        out[j] = xs[bi[j], ti[j] : ti[j] + window]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kmeans_assign_update(windows: jax.Array, centroids: jax.Array) -> KMeansStats:
+    """One assignment pass: per-shard (sums, counts, objective).
+
+    ``windows [M, D]`` (flattened W*C), ``centroids [K, D]`` unit-norm.
+    Polarity-invariant: window m contributes ``sign(score) * window`` to its
+    best-|score| centroid.  Pure function of its inputs — shard over M and
+    psum the outputs for the distributed form (SURVEY.md P8).
+    """
+    scores = jnp.dot(
+        windows, centroids.T, preferred_element_type=jnp.float32
+    )  # [M, K]
+    best = jnp.argmax(jnp.abs(scores), axis=1)  # [M]
+    bestval = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    sign = jnp.where(bestval >= 0, jnp.float32(1), jnp.float32(-1))
+    onehot = (
+        jax.nn.one_hot(best, centroids.shape[0], dtype=jnp.float32)
+        * sign[:, None]
+    )  # [M, K] signed
+    sums = jnp.dot(onehot.T, windows, preferred_element_type=jnp.float32)
+    counts = jnp.sum(jnp.abs(onehot), axis=0)
+    objective = jnp.sum(jnp.abs(bestval))
+    return KMeansStats(sums=sums, counts=counts, objective=objective)
+
+
+def normalize_centroids(
+    sums: jax.Array, counts: jax.Array, old: jax.Array, eps: float = 1e-8
+) -> jax.Array:
+    """Deterministic centroid update: unit-normalized sums; dead atoms
+    (count == 0) keep their previous value (reference dead-atom handling —
+    reset strategies live in the learner)."""
+    norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+    new = sums / jnp.maximum(norms, eps)
+    dead = (counts <= 0)[:, None]
+    return jnp.where(dead, old, new)
+
+
+class ConvolutionalDictionaryLearner:
+    """Learns one level's filter bank from training sequences.
+
+    Reference: `hsc/modeling.py :: ConvolutionalDictionaryLearner`
+    (`k`, `windowSize`, `algorithm` in {'samples', 'kmean'}).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        window: int,
+        channels: int = 1,
+        *,
+        algorithm: str = "kmean",
+        num_windows: int = 4096,
+        iterations: int = 20,
+        extraction: str = "energy",
+        seed: int = 0,
+    ):
+        if algorithm not in ("samples", "kmean"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        self.k = int(k)
+        self.window = int(window)
+        self.channels = int(channels)
+        self.algorithm = algorithm
+        self.num_windows = int(num_windows)
+        self.iterations = int(iterations)
+        self.extraction = extraction
+        self.seed = int(seed)
+        self.objective_history: list[float] = []
+
+    def _init_centroids(self, windows: np.ndarray) -> np.ndarray:
+        """Deterministic farthest-point-style init: first window, then
+        greedily the window least correlated with the chosen set."""
+        m, d = windows.shape
+        norms = np.linalg.norm(windows, axis=1)
+        order = np.argsort(-norms, kind="stable")
+        chosen = [int(order[0])]
+        wn = windows / np.maximum(norms[:, None], 1e-8)
+        maxcorr = np.abs(wn @ wn[chosen[0]])
+        for _ in range(self.k - 1):
+            cand = int(np.argmin(maxcorr))
+            chosen.append(cand)
+            maxcorr = np.maximum(maxcorr, np.abs(wn @ wn[cand]))
+        return wn[np.asarray(chosen)].astype(np.float32)
+
+    def train(
+        self, xs: np.ndarray, *, mesh_axis: str | None = None
+    ) -> np.ndarray:
+        """Learn ``[K, W, C]`` filters from blocks ``[B, N, C]``.
+
+        With `mesh_axis` set, the caller is inside `shard_map` and the
+        (sums, counts, objective) are psum'd over that axis before the update
+        (identical broadcast update on all replicas — SURVEY.md P8).
+        """
+        windows = extract_windows(
+            xs, self.window, self.num_windows, mode=self.extraction, seed=self.seed
+        )
+        m = windows.shape[0]
+        flat = windows.reshape(m, -1)
+        if self.algorithm == "samples":
+            cents = self._init_centroids(flat)
+            self.objective_history = []
+            return cents.reshape(self.k, self.window, self.channels)
+
+        cents = jnp.asarray(self._init_centroids(flat))
+        wdev = jnp.asarray(flat)
+        self.objective_history = []
+        for _ in range(self.iterations):
+            stats = kmeans_assign_update(wdev, cents)
+            sums, counts, obj = stats.sums, stats.counts, stats.objective
+            if mesh_axis is not None:
+                sums = jax.lax.psum(sums, mesh_axis)
+                counts = jax.lax.psum(counts, mesh_axis)
+                obj = jax.lax.psum(obj, mesh_axis)
+            cents = normalize_centroids(sums, counts, cents)
+            self.objective_history.append(float(obj))
+        return np.asarray(cents).reshape(self.k, self.window, self.channels)

@@ -97,18 +97,26 @@ def mp_encode_jax(
     # Lag-padded score buffer: real position p lives at column p + (W-1); the
     # Gram update window for a pick at p is then the static-size slice
     # [:, p : p + 2W-1] regardless of edge clipping (pad columns absorb the
-    # out-of-range lags and are excluded from the argmax).
+    # out-of-range lags and are excluded from selection).
     scores_pad = jnp.zeros((k, npos + 2 * w - 2), dtype=jnp.float32)
     scores_pad = jax.lax.dynamic_update_slice(scores_pad, scores0, (0, w - 1))
+    # Incrementally-maintained per-position selection cache (spec two-stage
+    # argmax: best position by max-over-atoms, then best atom — SURVEY.md
+    # §3.3).  max has no rounding, so maintaining only the updated window is
+    # bitwise identical to a full recompute, at O(K*(2W-1)) per iteration
+    # instead of O(K*Npos).
+    colmax_pad = jnp.zeros((npos + 2 * w - 2,), dtype=jnp.float32)
+    colmax_pad = jax.lax.dynamic_update_slice(
+        colmax_pad, jnp.max(jnp.abs(scores0) * weights[:, None], axis=0), (w - 1,)
+    )
 
     def body(carry, _):
-        scores_pad, e_res, done, positions, atoms, codes, count = carry
-        valid = jax.lax.dynamic_slice(scores_pad, (0, w - 1), (k, npos))
-        weighted = jnp.abs(valid) * weights[:, None]
-        idx = jnp.argmax(weighted.reshape(-1))  # first max: lowest f, then t
-        f = (idx // npos).astype(jnp.int32)
-        t = (idx % npos).astype(jnp.int32)
-        s = valid[f, t]
+        scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+        colmax_valid = jax.lax.dynamic_slice(colmax_pad, (w - 1,), (npos,))
+        t = jnp.argmax(colmax_valid).astype(jnp.int32)  # ties: lowest position
+        col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (k, 1))[:, 0]
+        f = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)  # ties: lowest atom
+        s = col[f]
         code = jnp.clip(jnp.rint(s / scale), -maxcode, maxcode).astype(jnp.int32)
         emit = jnp.logical_and(jnp.logical_not(done), code != 0)
         c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
@@ -126,15 +134,19 @@ def mp_encode_jax(
         window = jax.lax.dynamic_slice(scores_pad, (0, t), (k, lag))
         window = window - jax.lax.optimization_barrier(c_hat * gram_t[f])
         scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, t))
+        colmax_pad = jax.lax.dynamic_update_slice(
+            colmax_pad, jnp.max(jnp.abs(window) * weights[:, None], axis=0), (t,)
+        )
 
         done = jnp.logical_or(
             jnp.logical_or(done, code == 0),
             jnp.logical_and(emit, e_res <= snr_thr),
         )
-        return (scores_pad, e_res, done, positions, atoms, codes, count), None
+        return (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), None
 
     init = (
         scores_pad,
+        colmax_pad,
         e0,
         scale <= 0,
         jnp.zeros((num_coefs,), dtype=jnp.int32),
@@ -142,7 +154,7 @@ def mp_encode_jax(
         jnp.zeros((num_coefs,), dtype=jnp.int32),
         jnp.int32(0),
     )
-    (scores_pad, e_res, done, positions, atoms, codes, count), _ = jax.lax.scan(
+    (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = jax.lax.scan(
         body, init, None, length=num_coefs
     )
     return EncodedBlock(

@@ -98,9 +98,12 @@ def mp_encode(
 
     Reference: `hsc/modeling.py :: ConvolutionalMatchingPursuit
     .computeCoefficients` (kwargs `nbNonzeroCoefs`, `toleranceSnr`,
-    `singletonWeight`).  Selection: argmax over |scores| x weight, tie-break
-    lowest atom then lowest position (row-major argmax over [K, Npos] — the
-    spec layout shared with the TPU encoder).
+    `singletonWeight`).  Selection: argmax over |scores| x weight, two-stage
+    by spec — first the best *position* (max over atoms per position, ties to
+    the lowest position), then the best *atom* at that position (ties to the
+    lowest atom).  The two-stage rule is what lets the device encoder keep an
+    incrementally-maintained per-position max (exact — max has no rounding)
+    instead of scanning the full [K, Npos] matrix every iteration.
 
     Determinism contract (SURVEY.md §7 H2): given the same float32 initial
     scores, the greedy loop — selection, quantization, Gram update, energy
@@ -150,9 +153,10 @@ def mp_encode(
     positions, atoms, codes = [], [], []
     if scale > 0:
         for _ in range(int(num_coefs)):
-            flat = np.abs(scores) * weights[:, None]
-            idx = int(np.argmax(flat))  # first max wins: lowest f then lowest t
-            f, t = divmod(idx, npos)
+            weighted = np.abs(scores) * weights[:, None]
+            colmax = weighted.max(axis=0)  # [Npos]
+            t = int(np.argmax(colmax))  # first max wins: lowest position
+            f = int(np.argmax(weighted[:, t]))  # then lowest atom
             s = np.float32(scores[f, t])
             code = int(np.clip(np.rint(np.float32(s / scale)), -maxcode, maxcode))
             if code == 0:

@@ -1,0 +1,237 @@
+"""Context-parallel (sequence-parallel) exact greedy MP — SURVEY.md §2.3 P4.
+
+For a single logical block too large for one chip, the time axis is sharded
+over the 'seq' mesh axis.  Design (the codec analogue of ring attention, but
+with *selection* collectives instead of attention passes):
+
+  * init: one `ppermute` halo exchange of (W-1) signal samples so every
+    shard's valid-mode correlation is boundary-exact;
+  * per greedy iteration: local two-stage selection on the shard's
+    incrementally-maintained colmax cache, then a global reduction —
+    `pmax` of the local best value, `pmin` position tie-break, and one packed
+    `psum` broadcast of the winning (t, f, code, score);
+  * update: NO score data ever moves between shards — every shard knows the
+    global winner and applies the (lag-masked) Gram-row subtraction to
+    whatever part of the ±(W-1) window it owns.  Boundary-crossing updates
+    are handled by index clamping + lag masking, so a shard with no overlap
+    performs an exact no-op.
+
+Latency note (SURVEY.md §7 H5): three small collectives per retained
+coefficient ride the ICI; use SP only when a block exceeds one chip's memory —
+otherwise blockwise DP (parallel/dp.py) is strictly better.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.encode import EncodedBlock
+
+
+def sp_encode(
+    mesh: Mesh,
+    x: jax.Array,
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+    axis: str = "seq",
+) -> EncodedBlock:
+    """Encode ONE block ``x [N, C]`` sharded along time over `axis`.
+
+    Emits the same stream as the single-device encoder given identical
+    correlation values (the greedy loop arithmetic is replicated bit-for-bit;
+    every shard returns identical event buffers).
+    """
+    k, w, c = bank.shape
+    if n_raw is None:
+        n_raw = k
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    s = int(mesh.shape[axis])
+    if n % s != 0:
+        raise ValueError(f"N={n} must divide the {axis}-axis size {s}")
+    l = n // s
+    if l < 2 * w:
+        raise ValueError(f"shard length {l} must be >= 2*W={2*w}")
+    npos_total = n - w + 1
+    lag = 2 * w - 1
+    maxcode = float((1 << (amp_bits - 1)) - 1)
+    snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
+
+    def shard_fn(x_loc, bank, gram_t):
+        # x_loc: [1?, L, C] block of the sharded signal — shard_map passes
+        # the local chunk [L, C].
+        sid = jax.lax.axis_index(axis)
+        # ---- halo exchange: W-1 samples from the right neighbor ----------
+        halo = jax.lax.ppermute(
+            x_loc[: w - 1], axis, [(i + 1, i) for i in range(s - 1)]
+        )
+        x_ext = jnp.concatenate([x_loc, halo], axis=0)  # [L + W - 1, C]
+        # ---- local correlation (boundary-exact) --------------------------
+        lhs = x_ext.T[None]  # [1, C, L+W-1]
+        rhs = bank.transpose(0, 2, 1)  # [K, C, W]
+        scores0 = jax.lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]  # [K, L] — global positions [sid*L, sid*L + L)
+        gpos0 = sid * l
+        valid = (gpos0 + jnp.arange(l)) < npos_total  # [L]
+        weights = jnp.where(
+            jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
+        )
+
+        peak_loc = jnp.max(jnp.where(valid[None, :], jnp.abs(scores0), 0.0))
+        peak = jax.lax.pmax(peak_loc, axis)
+        scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
+
+        e0 = jax.lax.psum(jnp.sum(jnp.square(x_loc)), axis)
+        snr_thr = (
+            e0 * jnp.float32(snr_factor) if snr_factor is not None else jnp.float32(-1)
+        )
+
+        # Lag-padded local buffers (same layout as ops.encode): local position
+        # p at column p + (W-1).
+        scores_pad = jnp.zeros((k, l + 2 * w - 2), dtype=jnp.float32)
+        scores_pad = jax.lax.dynamic_update_slice(scores_pad, scores0, (0, w - 1))
+        colmax0 = jnp.where(
+            valid, jnp.max(jnp.abs(scores0) * weights[:, None], axis=0), jnp.float32(-1)
+        )
+        colmax_pad = jnp.full((l + 2 * w - 2,), jnp.float32(-1))
+        colmax_pad = jax.lax.dynamic_update_slice(colmax_pad, colmax0, (w - 1,))
+
+        big = jnp.int32(npos_total + 1)
+
+        def body(carry, _):
+            scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+            colmax_valid = jax.lax.dynamic_slice(colmax_pad, (w - 1,), (l,))
+            t_loc = jnp.argmax(colmax_valid).astype(jnp.int32)
+            v_loc = colmax_valid[t_loc]
+            v_glob = jax.lax.pmax(v_loc, axis)
+            t_glob_cand = jnp.where(
+                v_loc == v_glob, gpos0 + t_loc, big
+            ).astype(jnp.int32)
+            t_glob = jax.lax.pmin(t_glob_cand, axis)  # tie-break: lowest position
+            am_winner = t_glob_cand == t_glob
+            # winner extracts the atom + score; others contribute zeros
+            col = jax.lax.dynamic_slice(scores_pad, (0, t_loc + (w - 1)), (k, 1))[:, 0]
+            f_loc = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)
+            s_loc = col[f_loc]
+            code_loc = jnp.clip(
+                jnp.rint(s_loc / scale), -maxcode, maxcode
+            ).astype(jnp.int32)
+            packed = jnp.where(
+                am_winner,
+                jnp.stack(
+                    [
+                        f_loc.astype(jnp.float32),
+                        code_loc.astype(jnp.float32),
+                        s_loc,
+                    ]
+                ),
+                jnp.zeros((3,), jnp.float32),
+            )
+            f_g, code_g, s_g = jax.lax.psum(packed, axis)
+            f = f_g.astype(jnp.int32)
+            code = code_g.astype(jnp.int32)
+            s_val = s_g
+
+            emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+            c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+
+            positions = positions.at[count].set(
+                jnp.where(emit, t_glob, positions[count])
+            )
+            atoms = atoms.at[count].set(jnp.where(emit, f, atoms[count]))
+            codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+            count = count + emit.astype(jnp.int32)
+
+            e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s_val)
+            e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+            e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+
+            # ---- boundary-exact local window update ----------------------
+            # Window start in local *padded* columns; clamp + lag-mask makes
+            # non-overlapping shards perform an exact no-op.
+            ps = t_glob - gpos0  # may be far out of range
+            ps_c = jnp.clip(ps, 0, l - 1)
+            offset = ps_c - ps  # lag shift caused by clamping
+            gram_row = gram_t[f]  # [K, lag]
+            lags = jnp.arange(lag) + offset
+            lag_ok = jnp.logical_and(lags >= 0, lags < lag)
+            row = jnp.where(
+                lag_ok[None, :],
+                jnp.take(gram_row, jnp.clip(lags, 0, lag - 1), axis=1),
+                jnp.float32(0),
+            )
+            window = jax.lax.dynamic_slice(scores_pad, (0, ps_c), (k, lag))
+            window = window - jax.lax.optimization_barrier(c_hat * row)
+            scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, ps_c))
+            # colmax over the touched columns; keep invalid positions at -1
+            touched_gpos = gpos0 + (jnp.arange(lag) + ps_c - (w - 1))
+            touched_valid = jnp.logical_and(
+                touched_gpos >= 0, touched_gpos < npos_total
+            )
+            cm = jnp.where(
+                touched_valid,
+                jnp.max(jnp.abs(window) * weights[:, None], axis=0),
+                jnp.float32(-1),
+            )
+            colmax_pad = jax.lax.dynamic_update_slice(colmax_pad, cm, (ps_c,))
+
+            done = jnp.logical_or(
+                jnp.logical_or(done, code == 0),
+                jnp.logical_and(emit, e_res <= snr_thr),
+            )
+            return (
+                scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count,
+            ), None
+
+        init = (
+            scores_pad,
+            colmax_pad,
+            e0,
+            scale <= 0,
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.int32(0),
+        )
+        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = (
+            jax.lax.scan(body, init, None, length=num_coefs)
+        )
+        return EncodedBlock(
+            positions=positions,
+            atoms=atoms,
+            codes=codes,
+            count=count,
+            scale=scale,
+            energy0=e0,
+            energy_res=jnp.maximum(e_res, jnp.float32(0)),
+        )
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=EncodedBlock(
+            positions=P(), atoms=P(), codes=P(), count=P(),
+            scale=P(), energy0=P(), energy_res=P(),
+        ),
+        check_vma=False,
+    )
+    fn = jax.jit(shard)
+    return fn(x, jnp.asarray(bank, jnp.float32), jnp.asarray(gram_t, jnp.float32))

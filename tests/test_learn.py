@@ -1,0 +1,112 @@
+"""Dictionary learning tests (reference `tests/test_modeling.py` learner
+coverage, SURVEY.md §4): window extraction, k-means refinement recovering a
+planted dictionary, multilevel trainer with checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
+from hsc_tpu.learn import (
+    ConvolutionalDictionaryLearner,
+    MultilevelTrainer,
+    extract_windows,
+)
+
+
+def test_extract_windows_shapes(mld1):
+    gen = SignalGenerator(mld1, rates=5e-3)
+    xs = gen.generate_signals(4, 512, seed=0)
+    for mode in ("random", "energy"):
+        w = extract_windows(xs, 16, 64, mode=mode, seed=1)
+        assert w.shape == (64, 16, 1)
+        assert w.dtype == np.float32
+
+
+def test_extract_windows_deterministic(mld1):
+    gen = SignalGenerator(mld1, rates=5e-3)
+    xs = gen.generate_signals(2, 512, seed=0)
+    a = extract_windows(xs, 16, 32, mode="energy", seed=5)
+    b = extract_windows(xs, 16, 32, mode="energy", seed=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_energy_mode_prefers_events(mld1):
+    """Windows from energy mode should overlap actual signal events."""
+    gen = SignalGenerator(mld1, rates=3e-3)
+    xs = gen.generate_signals(2, 1024, seed=7)
+    w = extract_windows(xs, 16, 64, mode="energy", seed=2)
+    energies = np.sum(np.square(w.reshape(64, -1)), axis=1)
+    assert np.median(energies) > 0
+
+
+def test_kmeans_recovers_planted_atoms():
+    """Signals built from a known dictionary: learned atoms must correlate
+    strongly with the truth (the reference's learn-then-verify experiment in
+    miniature)."""
+    cfg = make_test_config(counts=(8,), scales=(12,), num_coefs=(32,), block_size=512)
+    mld = MultilevelDictionary.generate(cfg, seed=3)
+    gen = SignalGenerator(mld, rates=2e-2, amplitude_range=(0.8, 1.2))
+    xs = gen.generate_signals(32, 512, seed=9)
+    learner = ConvolutionalDictionaryLearner(
+        8, 12, 1, algorithm="kmean", num_windows=2048, iterations=25, seed=0
+    )
+    learned = learner.train(xs)
+    assert learned.shape == (8, 12, 1)
+    norms = np.linalg.norm(learned.reshape(8, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # objective is monotonically non-decreasing (k-means property)
+    hist = learner.objective_history
+    assert all(b >= a - 1e-3 for a, b in zip(hist, hist[1:]))
+    # each true atom is matched by some learned atom at some shift
+    true = mld.dicts[0][:, :, 0]
+    matched = 0
+    for i in range(8):
+        best = 0.0
+        for j in range(8):
+            c = np.correlate(true[i], learned[j, :, 0], mode="full")
+            best = max(best, np.max(np.abs(c)))
+        if best > 0.75:
+            matched += 1
+    assert matched >= 6, f"only {matched}/8 atoms recovered"
+
+
+def test_samples_algorithm():
+    cfg = make_test_config(counts=(6,), scales=(12,), num_coefs=(16,), block_size=256)
+    mld = MultilevelDictionary.generate(cfg, seed=1)
+    gen = SignalGenerator(mld, rates=2e-2)
+    xs = gen.generate_signals(8, 256, seed=2)
+    learner = ConvolutionalDictionaryLearner(
+        6, 12, 1, algorithm="samples", num_windows=256, seed=0
+    )
+    learned = learner.train(xs)
+    assert learned.shape == (6, 12, 1)
+    norms = np.linalg.norm(learned.reshape(6, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_unknown_algorithm():
+    with pytest.raises(ValueError):
+        ConvolutionalDictionaryLearner(4, 8, algorithm="bogus")
+
+
+def test_multilevel_trainer_and_resume(tmp_path, mld2):
+    cfg = mld2.config
+    gen = SignalGenerator(mld2, rates=[np.full(12, 8e-3), np.full(8, 2e-3)])
+    xs = gen.generate_signals(6, cfg.block_size, seed=13)
+    ck = str(tmp_path / "ck")
+    trainer = MultilevelTrainer(
+        cfg, num_windows=512, iterations=5, seed=0, checkpoint_dir=ck
+    )
+    learned = trainer.train(xs)
+    assert learned.config == cfg
+    assert learned.dicts[0].shape == mld2.dicts[0].shape
+    assert learned.dicts[1].shape == mld2.dicts[1].shape
+
+    # resume: a fresh trainer with the same checkpoint dir skips learning and
+    # returns identical dictionaries
+    trainer2 = MultilevelTrainer(
+        cfg, num_windows=512, iterations=5, seed=0, checkpoint_dir=ck
+    )
+    learned2 = trainer2.train(xs)
+    for a, b in zip(learned.dicts, learned2.dicts):
+        np.testing.assert_array_equal(a, b)

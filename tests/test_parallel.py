@@ -1,0 +1,123 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4 (b)):
+data-parallel encode determinism, context-parallel (halo) encode vs
+single-device streams, distributed k-means replica consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hsc_tpu import SignalGenerator, make_test_config, MultilevelDictionary
+from hsc_tpu.models import ConvolutionalSparseCoder
+from hsc_tpu.ops import mp_encode_jax
+from hsc_tpu.parallel import (
+    DataParallelEncoder,
+    distributed_kmeans_step,
+    make_mesh,
+    sp_encode,
+)
+from hsc_tpu.learn.kmeans import kmeans_assign_update, normalize_centroids
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual CPU devices"
+    return make_mesh({"data": 8})
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    return make_mesh({"seq": 4}, devices=jax.devices()[:4])
+
+
+def test_make_mesh_shapes():
+    m = make_mesh({"data": 4, "model": 2})
+    assert m.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 5})
+
+
+def test_dp_encode_matches_local(mesh, mld1):
+    """Sharded DP encode must produce exactly the same streams as the
+    single-device batched path, in original block order."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(16, mld1.config.block_size, seed=51)
+    coder = ConvolutionalSparseCoder(mld1)
+    local = coder.encode_batch(xs)
+    dp = DataParallelEncoder(mesh, coder.mp)
+    enc = dp.encode(xs)
+    assert enc.count.shape[0] == 16
+    for b in range(16):
+        n = int(enc.count[b])
+        assert n == local[b].positions.shape[0], f"block {b}"
+        np.testing.assert_array_equal(enc.positions[b][:n], local[b].positions)
+        np.testing.assert_array_equal(enc.codes[b][:n], local[b].codes)
+        assert np.float32(enc.scale[b]) == local[b].scale
+
+
+def test_dp_encode_pads_ragged_batch(mesh, mld1):
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(5, mld1.config.block_size, seed=52)  # 5 % 8 != 0
+    coder = ConvolutionalSparseCoder(mld1)
+    dp = DataParallelEncoder(mesh, coder.mp)
+    enc = dp.encode(xs)
+    assert enc.count.shape[0] == 5
+
+
+def test_sp_encode_matches_single_device(seq_mesh, mld1):
+    """Context-parallel encode of ONE block sharded over 4 devices emits the
+    single-device stream (boundary-exact halo + replicated greedy loop)."""
+    cfg = mld1.config
+    gen = SignalGenerator(mld1, rates=4e-3)
+    x = gen.generate_signals(1, cfg.block_size, seed=61)[0]
+    bank = mld1.augmented(0)
+    gram_t = np.ascontiguousarray(mld1.gram(0).transpose(1, 0, 2))
+
+    single = mp_encode_jax(
+        jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0],
+    )
+    sp = sp_encode(
+        seq_mesh, jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0],
+    )
+    n_single = int(single.count)
+    n_sp = int(sp.count)
+    assert n_sp == n_single
+    np.testing.assert_array_equal(
+        np.asarray(sp.positions[:n_sp]), np.asarray(single.positions[:n_single])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.atoms[:n_sp]), np.asarray(single.atoms[:n_single])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.codes[:n_sp]), np.asarray(single.codes[:n_single])
+    )
+    assert np.float32(sp.scale) == np.float32(single.scale)
+
+
+def test_sp_encode_rejects_bad_shapes(seq_mesh, mld1):
+    bank = mld1.augmented(0)
+    gram_t = mld1.gram(0).transpose(1, 0, 2)
+    with pytest.raises(ValueError):
+        sp_encode(
+            seq_mesh, jnp.zeros((1026, 1)), jnp.asarray(bank),
+            jnp.asarray(gram_t), num_coefs=4,
+        )
+
+
+def test_distributed_kmeans_matches_single(mesh):
+    """psum'd sharded update == single-device update, bit for bit."""
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((256, 32)).astype(np.float32)
+    cents = rng.standard_normal((8, 32)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    stats = kmeans_assign_update(jnp.asarray(windows), jnp.asarray(cents))
+    ref = np.asarray(normalize_centroids(stats.sums, stats.counts, jnp.asarray(cents)))
+
+    new, obj = distributed_kmeans_step(mesh, jnp.asarray(windows), jnp.asarray(cents))
+    new = np.asarray(new)
+    # psum changes fp association of the sums; allow ulp-level tolerance
+    np.testing.assert_allclose(new, ref, atol=1e-5, rtol=1e-5)
+    assert obj > 0
