@@ -1,0 +1,160 @@
+"""Information-rate / distortion-rate accounting.
+
+Reference parity (SURVEY.md §2 C9): `hsc/analysis.py ::
+calculateBitForDatatype, calculateInformationRate(s),
+calculateMultilevelInformationRates, visualize*` — bits per retained
+coefficient (amplitude + atom-index + position bits), per-level and total
+rates, SNR-vs-rate curves comparing flat vs hierarchical coding.
+
+Difference from the reference: the reference *estimates* bits (it never
+serializes); here the accounting is exact by construction — the event widths
+are the genuine bitstream field widths (`CodecConfig.event_bits`), and
+`stream_rate` agrees with `io.bitstream.stream_num_bytes` to the byte.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..config import CodecConfig
+from ..io.bitstream import stream_num_bytes
+from ..oracle.mp import LevelStream
+
+
+def bits_for_dtype(dtype) -> int:
+    """Bits to store one amplitude of `dtype` raw (reference:
+    `hsc/analysis.py :: calculateBitForDatatype`)."""
+    return int(np.dtype(dtype).itemsize * 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class RateReport:
+    level: int
+    n_events: int
+    payload_bits: int
+    total_bytes: int  # includes stream header (level, count, scale)
+    bits_per_event: float
+    bits_per_sample: float
+    snr_db: float
+
+
+def stream_rate(cfg: CodecConfig, level: int, stream: LevelStream) -> RateReport:
+    """Exact rate accounting for one level stream of one block."""
+    n = int(stream.positions.shape[0])
+    eb = cfg.event_bits(level)
+    payload_bits = n * eb
+    total = stream_num_bytes(cfg, level, n)
+    if stream.energy0 > 0 and stream.energy_res > 0:
+        snr = 10.0 * math.log10(stream.energy0 / stream.energy_res)
+    elif stream.energy0 > 0:
+        snr = float("inf")
+    else:
+        snr = float("nan")
+    return RateReport(
+        level=level,
+        n_events=n,
+        payload_bits=payload_bits,
+        total_bytes=total,
+        bits_per_event=float(eb),
+        bits_per_sample=payload_bits / cfg.block_size,
+        snr_db=snr,
+    )
+
+
+def corpus_rates(
+    cfg: CodecConfig, blocks: list[list[tuple[int, LevelStream]]]
+) -> dict:
+    """Aggregate rates over a packed corpus (reference:
+    `hsc/analysis.py :: calculateInformationRates` aggregate form)."""
+    total_bytes = 0
+    total_events = 0
+    total_samples = cfg.block_size * len(blocks)
+    per_level: dict[int, int] = {}
+    for streams in blocks:
+        for level, stream in streams:
+            r = stream_rate(cfg, level, stream)
+            total_bytes += r.total_bytes
+            total_events += r.n_events
+            per_level[level] = per_level.get(level, 0) + r.payload_bits
+    return {
+        "total_bytes": total_bytes,
+        "total_events": total_events,
+        "bits_per_sample": 8.0 * total_bytes / max(total_samples, 1),
+        "per_level_payload_bits": per_level,
+        "compression_ratio": (4.0 * total_samples) / max(total_bytes, 1),
+    }
+
+
+def multilevel_information_rates(
+    cfg: CodecConfig, streams: list[LevelStream]
+) -> list[RateReport]:
+    """Per-level reports for one block's distributed representation
+    (reference: `hsc/analysis.py :: calculateMultilevelInformationRates`)."""
+    return [stream_rate(cfg, k, s) for k, s in enumerate(streams)]
+
+
+def rate_distortion_curve(
+    mld,
+    xs: np.ndarray,
+    budgets: list[int],
+    *,
+    use_device: bool = False,
+) -> list[tuple[float, float]]:
+    """(bits/sample, SNR dB) at a sweep of coefficient budgets — the
+    SNR-vs-rate research curve of the reference paper (flat, level-0 form).
+
+    `use_device=False` runs the NumPy oracle (no jit recompiles per budget);
+    True runs the device encoder.
+    """
+    from ..oracle.mp import mp_encode
+    from ..utils import snr_db as _snr
+
+    cfg = mld.config
+    bank = mld.augmented(0)
+    gram = mld.gram(0)
+    out = []
+    for budget in budgets:
+        bits = 0
+        num = 0.0
+        den = 0.0
+        for b in range(xs.shape[0]):
+            if use_device:
+                from ..models.coder import ConvolutionalMatchingPursuit, _to_level_stream
+
+                mp = ConvolutionalMatchingPursuit(
+                    bank, gram, num_coefs=budget, amp_bits=cfg.amp_bits
+                )
+                stream = _to_level_stream(mp.compute_coefficients(xs[b]))
+            else:
+                stream = mp_encode(
+                    xs[b][:, None], bank, gram, num_coefs=budget,
+                    amp_bits=cfg.amp_bits,
+                )
+            bits += stream.positions.shape[0] * cfg.event_bits(0)
+            num += stream.energy0
+            den += max(stream.energy_res, 1e-20)
+        out.append((bits / (xs.shape[0] * cfg.block_size), 10.0 * math.log10(num / den)))
+    return out
+
+
+def visualize_rate_distortion(curves: dict[str, list[tuple[float, float]]], path=None):
+    """Plot SNR-vs-rate curves (reference: `hsc/analysis.py :: visualize*`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, pts in curves.items():
+        pts = sorted(pts)
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o", label=name)
+    ax.set_xlabel("bits / sample")
+    ax.set_ylabel("SNR (dB)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig

@@ -61,6 +61,10 @@ class ConvolutionalMatchingPursuit:
     Reference: `hsc/modeling.py :: ConvolutionalMatchingPursuit` — its
     `computeCoefficients(X, D, nbNonzeroCoefs, toleranceSnr, singletonWeight)`
     becomes a jit-compiled closure over static settings.
+
+    `backend`: 'pallas' runs the fused VMEM-resident greedy-loop kernel
+    (`ops.mp_kernels`), 'jax' the portable lax.scan path, 'auto' picks pallas
+    on TPU.  Both emit identical streams (golden-loop tested).
     """
 
     def __init__(
@@ -73,6 +77,7 @@ class ConvolutionalMatchingPursuit:
         tolerance_snr: float | None = None,
         singleton_weight: float = 1.0,
         n_raw: int | None = None,
+        backend: str = "auto",
     ):
         self.bank = jnp.asarray(bank, dtype=jnp.float32)
         # gram_t[f] = G[:, f, :] — the contiguous per-selection update row.
@@ -81,6 +86,11 @@ class ConvolutionalMatchingPursuit:
             dtype=jnp.float32,
         )
         self.num_coefs = int(num_coefs)
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jax"
+        if backend not in ("jax", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.settings = dict(
             num_coefs=int(num_coefs),
             amp_bits=int(amp_bits),
@@ -101,13 +111,26 @@ class ConvolutionalMatchingPursuit:
         x = jnp.asarray(x, dtype=jnp.float32)
         if x.ndim == 1:
             x = x[:, None]
+        if self.backend.startswith("pallas"):
+            enc = self.compute_coefficients_batch(x[None])
+            return EncodedBlock(*(v[0] for v in enc))
         return mp_encode_jax(x, self.bank, self.gram_t, **self.settings)
 
     def compute_coefficients_batch(self, xs) -> EncodedBlock:
-        """Encode ``[B, N, C]`` (or ``[B, N]``) in one jit'd vmap."""
+        """Encode ``[B, N, C]`` (or ``[B, N]``) in one jit'd computation."""
         xs = jnp.asarray(xs, dtype=jnp.float32)
         if xs.ndim == 2:
             xs = xs[:, :, None]
+        if self.backend.startswith("pallas"):
+            from ..ops.mp_kernels import mp_encode_pallas
+
+            return mp_encode_pallas(
+                xs,
+                self.bank,
+                self.gram_t,
+                interpret=self.backend == "pallas_interpret",
+                **self.settings,
+            )
         return self._batched(xs, self.bank, self.gram_t)
 
 
@@ -115,7 +138,7 @@ class ConvolutionalSparseCoder:
     """Single-level encode/reconstruct pair (reference:
     `hsc/modeling.py :: ConvolutionalSparseCoder.encode / reconstruct`)."""
 
-    def __init__(self, mld: MultilevelDictionary, level: int = 0):
+    def __init__(self, mld: MultilevelDictionary, level: int = 0, backend: str = "auto"):
         self.mld = mld
         self.level = level
         cfg = mld.config
@@ -128,6 +151,7 @@ class ConvolutionalSparseCoder:
             tolerance_snr=cfg.tolerance_snr,
             singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
             n_raw=cfg.counts[level],
+            backend=backend,
         )
 
     def encode(self, x) -> LevelStream:
@@ -174,11 +198,11 @@ class HierarchicalConvolutionalSparseCoder:
     keeps bare lower-level structure alive — SURVEY.md §3.4).
     """
 
-    def __init__(self, mld: MultilevelDictionary):
+    def __init__(self, mld: MultilevelDictionary, backend: str = "auto"):
         self.mld = mld
         self.cfg = mld.config
         self.coders = [
-            ConvolutionalSparseCoder(mld, level)
+            ConvolutionalSparseCoder(mld, level, backend=backend)
             for level in range(self.cfg.num_levels)
         ]
         # decode bank = signal-space representations of the top augmented atoms

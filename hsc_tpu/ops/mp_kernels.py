@@ -1,0 +1,291 @@
+"""Fused Pallas TPU kernel for the greedy MP loop — the §3.3 hot path.
+
+One `pallas_call` program encodes one signal block end-to-end: the padded
+score matrix lives in VMEM for the whole greedy loop (no HBM round-trips per
+iteration), selection uses the incrementally-maintained per-position colmax
+cache, and the Gram-row subtraction touches only the ±(W-1) window.  This is
+the Pallas counterpart of `ops.encode.mp_encode_jax` (same spec arithmetic,
+same emitted stream) and replaces the reference's NumPy inner loop
+(`hsc/modeling.py :: ConvolutionalMatchingPursuit.computeCoefficients`).
+
+Mosaic constraint shaping the design: vector loads/stores need 128-aligned
+dynamic lane offsets (and tile-aligned widths), but the greedy window lands at
+arbitrary positions — so each iteration operates on a 128-aligned chunk of
+`CW = round_up(128 + 2W-1, 128)` lanes that is guaranteed to contain the
+±(W-1) window, and the Gram row is placed inside the chunk with a dynamic
+`pltpu.roll`:
+
+  per iteration:  colmax argmax (vector)  ->  aligned chunk load  ->
+  one-hot column extract + quantize       ->  roll(gram_row) subtract  ->
+  aligned chunk store + masked colmax refresh
+
+Memory plan per program (16k-sample / 64-atom flagship config):
+  scores  [K, 128 + Npos_pad + CW]  f32  ~4.3 MB   VMEM scratch (DMA'd in)
+  colmax  [1, same]                 f32  ~68 KB
+  gram    [K, K, 2W-1]              f32  ~1.0 MB   resident across grid
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .correlate import correlate_bank_jax
+from .encode import EncodedBlock
+
+_LPAD = 128  # left pad of the position axis (aligned static slices)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mp_kernel(
+    # inputs (full arrays; grid programs index their own row via program_id)
+    e0_ref,  # [B, 1] f32 SMEM
+    scores_hbm,  # [B, K, npos_pad] f32 ANY (stays in HBM)
+    gram_ref,  # [K, K, lag] f32 VMEM (resident)
+    w_ref,  # [K, 1] f32 VMEM (selection weights)
+    # outputs
+    pos_ref,  # [B, M] i32 SMEM
+    atom_ref,  # [B, M] i32 SMEM
+    code_ref,  # [B, M] i32 SMEM
+    cnt_ref,  # [B, 1] i32 SMEM
+    scale_ref,  # [B, 1] f32 SMEM
+    eres_ref,  # [B, 1] f32 SMEM
+    # scratch
+    scores,  # [K, P2] f32 VMEM
+    colmax,  # [1, P2] f32 VMEM
+    prod,  # [K, CW] f32 VMEM (FMA-contraction firewall, see below)
+    sem,  # DMA semaphore
+    *,
+    k: int,
+    w: int,
+    npos: int,
+    npos_pad: int,
+    num_coefs: int,
+    maxcode: float,
+    snr_factor: float | None,
+):
+    lag = 2 * w - 1
+    cw = _round_up(128 + lag, 128)  # aligned chunk width covering any window
+    p2 = _LPAD + npos_pad + cw
+    b_idx = pl.program_id(0)
+
+    # ---- load scores into the padded VMEM scratch -------------------------
+    scores[:, :] = jnp.zeros((k, p2), jnp.float32)
+    cp = pltpu.make_async_copy(
+        scores_hbm.at[b_idx], scores.at[:, pl.ds(_LPAD, npos_pad)], sem
+    )
+    cp.start()
+    cp.wait()
+
+    valid = scores[:, _LPAD : _LPAD + npos_pad]  # [K, npos_pad] (tail zeros)
+    peak = jnp.max(jnp.abs(valid))
+    scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
+    scale_ref[b_idx, 0] = scale
+
+    # colmax cache (selection spec: best position, then best atom).  Pad
+    # lanes — including the [npos, npos_pad) alignment tail, which Gram
+    # updates can spill real values into — are parked at -1; real colmax is
+    # >= 0 and argmax takes the first lane on ties, so pads can never win.
+    colmax[:, :] = jnp.full((1, p2), -1.0, jnp.float32)
+    tail_ok = jax.lax.broadcasted_iota(jnp.int32, (1, npos_pad), 1) < npos
+    colmax[:, _LPAD : _LPAD + npos_pad] = jnp.where(
+        tail_ok,
+        jnp.max(jnp.abs(valid) * w_ref[:, :1], axis=0)[None, :],
+        jnp.float32(-1),
+    )
+
+    e0 = e0_ref[b_idx, 0]
+    snr_thr = (
+        e0 * jnp.float32(snr_factor) if snr_factor is not None else jnp.float32(-1)
+    )
+
+
+    def cond(state):
+        i, done, e_res, count = state
+        return jnp.logical_and(i < num_coefs, jnp.logical_not(done))
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+
+    def body(state):
+        i, done, e_res, count = state
+        cm_valid = colmax[:, _LPAD : _LPAD + npos_pad]  # [1, npos_pad]
+        t = jnp.argmax(cm_valid, axis=1)[0].astype(jnp.int32)
+        # window of positions [t-(W-1), t+(W-1)] = padded cols [cs, cs+lag);
+        # load the 128-aligned chunk guaranteed to contain it
+        cs = t + _LPAD - (w - 1)
+        a = pl.multiple_of((cs // 128) * 128, 128)
+        o = cs - a  # in-chunk offset of the window, in [0, 128)
+        chunk = scores[:, pl.ds(a, cw)]  # [K, CW]
+        # center column (position t) at lane o + (W-1), via one-hot lane mask
+        col = jnp.sum(
+            jnp.where(lane_ids == o + (w - 1), chunk, jnp.float32(0)),
+            axis=1,
+            keepdims=True,
+        )  # [K, 1]
+        wcol = jnp.abs(col) * w_ref[:, :1]
+        f = jnp.argmax(wcol[:, 0][None, :], axis=1)[0].astype(jnp.int32)
+        atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        s = jnp.sum(jnp.where(atom_ids == f, col, jnp.float32(0)))
+        code_f = jnp.clip(
+            jnp.rint(s / scale), -jnp.float32(maxcode), jnp.float32(maxcode)
+        )
+        code = code_f.astype(jnp.int32)
+        emit = code != 0
+        c_hat = jnp.where(emit, code_f * scale, jnp.float32(0))
+
+        @pl.when(emit)
+        def _():
+            pos_ref[b_idx, count] = t
+            atom_ref[b_idx, count] = f
+            code_ref[b_idx, count] = code
+
+        new_count = count + emit.astype(jnp.int32)
+
+        # residual-energy recursion (unit-norm atoms)
+        e_step = jnp.float32(2.0) * c_hat * s
+        new_e = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
+
+        # Gram-domain update: place the Gram row at the window offset with a
+        # dynamic roll (no wraparound: o + lag <= CW), subtract, store back.
+        gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
+        u0 = jnp.concatenate(
+            [gram_row, jnp.zeros((k, cw - lag), jnp.float32)], axis=1
+        )
+        u = pltpu.roll(u0, o, 1)
+        # The spec is multiply-round-subtract-round (the oracle's two float32
+        # roundings).  The TPU toolchain compiles with excess precision
+        # allowed, which would contract mul+sub into one rounding — so the
+        # product makes a real VMEM store/load round-trip, which the compiler
+        # must honor as a rounding point.
+        prod[:, :] = c_hat * u
+        chunk_new = chunk - prod[:, :]
+        scores[:, pl.ds(a, cw)] = chunk_new
+        # exact colmax refresh over the chunk; lanes outside the real position
+        # range (left pad / alignment tail) stay parked at -1
+        gpos = lane_ids + (a - _LPAD)
+        cm = jnp.where(
+            jnp.logical_and(gpos >= 0, gpos < npos),
+            jnp.max(jnp.abs(chunk_new) * w_ref[:, :1], axis=0)[None, :],
+            jnp.float32(-1),
+        )
+        colmax[:, pl.ds(a, cw)] = cm
+
+        new_done = jnp.logical_or(
+            jnp.logical_not(emit),
+            jnp.logical_and(emit, new_e <= snr_thr),
+        )
+        return (i + 1, new_done, new_e, new_count)
+
+    init = (jnp.int32(0), scale <= 0, e0, jnp.int32(0))
+    _, _, e_res, count = jax.lax.while_loop(cond, body, init)
+    cnt_ref[b_idx, 0] = count
+    eres_ref[b_idx, 0] = jnp.maximum(e_res, jnp.float32(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
+        "interpret",
+    ),
+)
+def mp_encode_pallas(
+    xs: jax.Array,
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+    interpret: bool = False,
+) -> EncodedBlock:
+    """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
+
+    Same stream contract as `mp_encode_jax` (golden-loop tested); the
+    correlation init runs as the usual MXU conv, then one Pallas program per
+    block runs the whole greedy loop out of VMEM.
+    """
+    b, n, c = xs.shape
+    k, w, _ = bank.shape
+    if n_raw is None:
+        n_raw = k
+    npos = n - w + 1
+    npos_pad = _round_up(npos, 128)
+    lag = 2 * w - 1
+    cw = _round_up(128 + lag, 128)
+    p2 = _LPAD + npos_pad + cw
+    maxcode = float((1 << (amp_bits - 1)) - 1)
+    snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
+
+    scores0 = jax.vmap(correlate_bank_jax, in_axes=(0, None))(xs, bank)  # [B,K,npos]
+    scores0 = jnp.pad(scores0, ((0, 0), (0, 0), (0, npos_pad - npos)))
+    e0 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(1, 2))  # [B]
+    weights = jnp.where(
+        jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
+    )[:, None]
+
+    kernel = functools.partial(
+        _mp_kernel,
+        k=k, w=w, npos=npos, npos_pad=npos_pad, num_coefs=num_coefs,
+        maxcode=maxcode, snr_factor=snr_factor,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # e0 [B, 1]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # scores stay in HBM
+            pl.BlockSpec((k, k, lag), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # positions [B, M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # atoms [B, M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # codes [B, M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count [B, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # e_res [B, 1]
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, p2), jnp.float32),
+            pltpu.VMEM((1, p2), jnp.float32),
+            pltpu.VMEM((k, cw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, num_coefs), jnp.int32),
+        jax.ShapeDtypeStruct((b, num_coefs), jnp.int32),
+        jax.ShapeDtypeStruct((b, num_coefs), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    positions, atoms, codes, count, scale, e_res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(e0[:, None], scores0, jnp.asarray(gram_t), weights)
+    # SMEM event buffers beyond `count` are uninitialized — mask to match the
+    # zero-padded contract of mp_encode_jax.
+    mask = jnp.arange(num_coefs)[None, :] < count
+    return EncodedBlock(
+        positions=jnp.where(mask, positions, 0),
+        atoms=jnp.where(mask, atoms, 0),
+        codes=jnp.where(mask, codes, 0),
+        count=count[:, 0],
+        scale=scale[:, 0],
+        energy0=e0,
+        energy_res=e_res[:, 0],
+    )

@@ -1,0 +1,78 @@
+"""Rate accounting tests (reference `tests/test_analysis.py` — SURVEY.md §2
+C9): exact agreement with the serialized format, monotone rate-distortion."""
+
+import numpy as np
+
+from hsc_tpu.analysis import (
+    bits_for_dtype,
+    corpus_rates,
+    multilevel_information_rates,
+    rate_distortion_curve,
+    stream_rate,
+    visualize_rate_distortion,
+)
+from hsc_tpu.io import pack_corpus
+from hsc_tpu.oracle import hierarchical_encode, mp_encode
+
+
+def test_bits_for_dtype():
+    assert bits_for_dtype(np.float32) == 32
+    assert bits_for_dtype(np.float64) == 64
+    assert bits_for_dtype(np.int16) == 16
+
+
+def test_stream_rate_matches_serialized_size(mld1, signal1):
+    cfg = mld1.config
+    stream = mp_encode(
+        signal1[:, None], mld1.augmented(0), mld1.gram(0), num_coefs=cfg.num_coefs[0]
+    )
+    r = stream_rate(cfg, 0, stream)
+    assert r.n_events == stream.positions.shape[0]
+    assert r.bits_per_event == cfg.event_bits(0)
+    # exact: accounting equals bytes actually serialized
+    from hsc_tpu.io.bitstream import pack_stream
+
+    assert r.total_bytes == len(pack_stream(cfg, 0, stream))
+    assert r.snr_db > 0
+
+
+def test_corpus_rates(mld1, signal1):
+    cfg = mld1.config
+    stream = mp_encode(
+        signal1[:, None], mld1.augmented(0), mld1.gram(0), num_coefs=cfg.num_coefs[0]
+    )
+    blocks = [[(0, stream)], [(0, stream)]]
+    agg = corpus_rates(cfg, blocks)
+    blob = pack_corpus(cfg, blocks)
+    # aggregate bytes = serialized bytes minus container header/overheads
+    overhead = len(blob) - agg["total_bytes"]
+    assert 0 < overhead < 256
+    assert agg["total_events"] == 2 * stream.positions.shape[0]
+    assert agg["compression_ratio"] > 1.0
+
+
+def test_multilevel_rates(mld2, signal2):
+    streams = hierarchical_encode(signal2, mld2)
+    reports = multilevel_information_rates(mld2.config, streams)
+    assert [r.level for r in reports] == [0, 1]
+    # level-1 events are cheaper per sample than raw float32
+    assert reports[1].bits_per_sample < 32
+
+
+def test_rate_distortion_monotone(mld1):
+    from hsc_tpu import SignalGenerator
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=77)
+    curve = rate_distortion_curve(mld1, xs, [8, 32, 64])
+    rates = [p[0] for p in curve]
+    snrs = [p[1] for p in curve]
+    assert rates == sorted(rates)
+    assert snrs == sorted(snrs)  # more coefficients -> better SNR
+
+
+def test_visualize_smoke(tmp_path, mld1):
+    fig = visualize_rate_distortion(
+        {"flat": [(0.5, 5.0), (1.0, 10.0)]}, path=str(tmp_path / "rd.png")
+    )
+    assert (tmp_path / "rd.png").exists()

@@ -1,0 +1,70 @@
+"""Fused Pallas MP kernel — interpret-mode golden-loop parity on CPU
+(compiled-mode parity is checked on hardware by scripts/check_tpu_parity.py
+and the bench)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hsc_tpu import SignalGenerator
+from hsc_tpu.models import ConvolutionalSparseCoder
+from hsc_tpu.ops import mp_encode_jax
+from hsc_tpu.ops.mp_kernels import mp_encode_pallas
+
+
+def _gram_t(mld):
+    return jnp.asarray(np.ascontiguousarray(mld.gram(0).transpose(1, 0, 2)))
+
+
+def test_pallas_matches_jax_path(mld1):
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(3, mld1.config.block_size, seed=91)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = mld1.config.num_coefs[0]
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, interpret=True)
+    ref = jax.jit(
+        jax.vmap(functools.partial(mp_encode_jax, num_coefs=nc), in_axes=(0, None, None))
+    )(xb, bank, gt)
+    np.testing.assert_array_equal(np.asarray(pk.count), np.asarray(ref.count))
+    np.testing.assert_array_equal(np.asarray(pk.positions), np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(pk.atoms), np.asarray(ref.atoms))
+    np.testing.assert_array_equal(np.asarray(pk.codes), np.asarray(ref.codes))
+    np.testing.assert_array_equal(np.asarray(pk.scale), np.asarray(ref.scale))
+
+
+def test_pallas_snr_stop(mld1, signal1):
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(signal1)[None, :, None]
+    nc = mld1.config.num_coefs[0]
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, tolerance_snr=8.0, interpret=True)
+    ref = mp_encode_jax(
+        jnp.asarray(signal1)[:, None], bank, gt, num_coefs=nc, tolerance_snr=8.0
+    )
+    assert int(pk.count[0]) == int(ref.count)
+    np.testing.assert_array_equal(np.asarray(pk.codes[0]), np.asarray(ref.codes))
+
+
+def test_pallas_zero_signal(mld1):
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.zeros((1, mld1.config.block_size, 1), jnp.float32)
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=16, interpret=True)
+    assert int(pk.count[0]) == 0
+    assert float(pk.scale[0]) == 0.0
+    assert np.all(np.asarray(pk.codes) == 0)
+
+
+def test_coder_backend_pallas_interpret(mld1, signal1):
+    a = ConvolutionalSparseCoder(mld1, backend="pallas_interpret")
+    b = ConvolutionalSparseCoder(mld1, backend="jax")
+    sa = a.encode(signal1)
+    sb = b.encode(signal1)
+    np.testing.assert_array_equal(sa.positions, sb.positions)
+    np.testing.assert_array_equal(sa.codes, sb.codes)
+    assert sa.scale == sb.scale
