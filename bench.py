@@ -1,0 +1,91 @@
+"""Headline benchmark — encode throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+value       = TPU fused-kernel encode throughput (MB of float32 signal per
+              second per chip), flagship config: 16k-sample blocks, 64-atom
+              W=32 dictionary, 512 coefficients/block, batch of 64 blocks.
+vs_baseline = value / (CPU NumPy oracle encode MB/s) — the reference is pure
+              single-threaded NumPy (SURVEY.md §6: it publishes no numbers,
+              so the in-repo oracle at the same config is the
+              reference-proxy baseline per BASELINE.md).
+
+Detail lines go to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from hsc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
+    from hsc_tpu.oracle import mp_encode
+
+    cfg = make_test_config(
+        counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,)
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=7)
+    gen = SignalGenerator(mld, rates=2e-3)
+    B = 64
+    xs = gen.generate_signals(B, cfg.block_size, seed=3)
+    block_mb = cfg.block_size * 4 / 1e6
+
+    # ---- baseline: NumPy oracle (reference-proxy), single block -----------
+    bank = mld.augmented(0)
+    gram = mld.gram(0)
+    mp_encode(xs[0][:, None], bank, gram, num_coefs=64)  # warm caches
+    t0 = time.perf_counter()
+    oracle_stream = mp_encode(xs[0][:, None], bank, gram, num_coefs=512)
+    oracle_dt = time.perf_counter() - t0
+    oracle_mbps = block_mb / oracle_dt
+    log(f"oracle: {oracle_dt*1e3:.1f} ms/block -> {oracle_mbps:.2f} MB/s "
+        f"({oracle_stream.positions.shape[0]} events, snr {oracle_stream.snr_db():.2f} dB)")
+
+    # ---- TPU fused kernel -------------------------------------------------
+    from hsc_tpu.ops.mp_kernels import mp_encode_pallas
+
+    backend = jax.default_backend()
+    log(f"jax backend: {backend}, devices: {jax.devices()}")
+    gram_t = jnp.asarray(np.ascontiguousarray(gram.transpose(1, 0, 2)))
+    bank_d = jnp.asarray(bank)
+    xb = jnp.asarray(xs)[:, :, None]
+
+    def run():
+        enc = mp_encode_pallas(xb, bank_d, gram_t, num_coefs=512)
+        return jax.device_get(enc.count)
+
+    t0 = time.perf_counter()
+    counts = run()
+    log(f"compile+run: {time.perf_counter()-t0:.1f}s (min count {counts.min()})")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    tpu_mbps = B * block_mb / best
+    log(f"tpu fused encode: {best*1e3:.1f} ms for {B} blocks -> {tpu_mbps:.1f} MB/s")
+
+    print(json.dumps({
+        "metric": "encode throughput, 16k-sample/64-atom/512-coef blocks (flagship config)",
+        "value": round(tpu_mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(tpu_mbps / oracle_mbps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,8 @@ def mp_encode_jax(
     maxcode = jnp.float32((1 << (amp_bits - 1)) - 1)
     peak = jnp.max(jnp.abs(scores0))
     scale = jnp.where(peak > 0, peak / maxcode, jnp.float32(0))
+    # in-loop quantizer multiplies by inv_scale (spec: no in-loop division)
+    inv_scale = jnp.where(peak > 0, maxcode / peak, jnp.float32(0))
 
     weights = jnp.where(
         jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
@@ -117,7 +119,10 @@ def mp_encode_jax(
         col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (k, 1))[:, 0]
         f = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)  # ties: lowest atom
         s = col[f]
-        code = jnp.clip(jnp.rint(s / scale), -maxcode, maxcode).astype(jnp.int32)
+        # quantizer spec: round half away from zero (see oracle.mp.mp_encode)
+        y = s * inv_scale
+        r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+        code = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
         emit = jnp.logical_and(jnp.logical_not(done), code != 0)
         c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
 

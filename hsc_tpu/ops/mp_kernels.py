@@ -48,6 +48,8 @@ def _round_up(x: int, m: int) -> int:
 def _mp_kernel(
     # inputs (full arrays; grid programs index their own row via program_id)
     e0_ref,  # [B, 1] f32 SMEM
+    sc_ref,  # [B, 1] f32 SMEM — per-block quantizer step (XLA-computed)
+    inv_ref,  # [B, 1] f32 SMEM — per-block inverse step (XLA-computed)
     scores_hbm,  # [B, K, npos_pad] f32 ANY (stays in HBM)
     gram_ref,  # [K, K, lag] f32 VMEM (resident)
     w_ref,  # [K, 1] f32 VMEM (selection weights)
@@ -86,8 +88,11 @@ def _mp_kernel(
     cp.wait()
 
     valid = scores[:, _LPAD : _LPAD + npos_pad]  # [K, npos_pad] (tail zeros)
-    peak = jnp.max(jnp.abs(valid))
-    scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
+    # Quantizer steps are computed by XLA in the init stage (exact IEEE
+    # divisions); the kernel never divides — some backends lower in-loop
+    # fdiv to an approximate reciprocal (SURVEY.md H2).
+    scale = sc_ref[b_idx, 0]
+    inv_scale = inv_ref[b_idx, 0]
     scale_ref[b_idx, 0] = scale
 
     # colmax cache (selection spec: best position, then best atom).  Pad
@@ -134,9 +139,10 @@ def _mp_kernel(
         f = jnp.argmax(wcol[:, 0][None, :], axis=1)[0].astype(jnp.int32)
         atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         s = jnp.sum(jnp.where(atom_ids == f, col, jnp.float32(0)))
-        code_f = jnp.clip(
-            jnp.rint(s / scale), -jnp.float32(maxcode), jnp.float32(maxcode)
-        )
+        # quantizer spec: round half away from zero (see oracle.mp.mp_encode)
+        y = s * inv_scale
+        r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+        code_f = jnp.clip(r, -jnp.float32(maxcode), jnp.float32(maxcode))
         code = code_f.astype(jnp.int32)
         emit = code != 0
         c_hat = jnp.where(emit, code_f * scale, jnp.float32(0))
@@ -190,13 +196,22 @@ def _mp_kernel(
     eres_ref[b_idx, 0] = jnp.maximum(e_res, jnp.float32(0))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
-        "interpret",
-    ),
-)
+@jax.jit
+def encode_init(xs: jax.Array, bank: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched init correlation + block energies, as its OWN jitted
+    executable.
+
+    Kept separate from the Pallas stage on purpose: the init conv is the one
+    fp-order-dependent computation (SURVEY.md H2), and compiling it standalone
+    pins its reduction order regardless of caller context — the golden-loop
+    tests feed exactly this function's output into the NumPy oracle.
+    Returns (scores0 [B, K, npos] f32, e0 [B] f32).
+    """
+    scores0 = jax.vmap(correlate_bank_jax, in_axes=(0, None))(xs, bank)
+    e0 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(1, 2))
+    return scores0, e0
+
+
 def mp_encode_pallas(
     xs: jax.Array,
     bank: jax.Array,
@@ -211,15 +226,42 @@ def mp_encode_pallas(
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
-    Same stream contract as `mp_encode_jax` (golden-loop tested); the
-    correlation init runs as the usual MXU conv, then one Pallas program per
-    block runs the whole greedy loop out of VMEM.
+    Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
+    stages: `encode_init` (standalone, fusion-isolated — see its docstring),
+    then one Pallas program per block running the greedy loop out of VMEM.
     """
-    b, n, c = xs.shape
-    k, w, _ = bank.shape
+    scores0, e0 = encode_init(xs, bank)
+    return _mp_pallas_stage(
+        scores0, e0, bank, gram_t,
+        num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
+        singleton_weight=singleton_weight, n_raw=n_raw, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
+        "interpret",
+    ),
+)
+def _mp_pallas_stage(
+    scores0: jax.Array,
+    e0: jax.Array,
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int,
+    tolerance_snr: float | None,
+    singleton_weight: float,
+    n_raw: int | None,
+    interpret: bool,
+) -> EncodedBlock:
+    b, k, npos = scores0.shape
+    _, w, _ = bank.shape
     if n_raw is None:
         n_raw = k
-    npos = n - w + 1
     npos_pad = _round_up(npos, 128)
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)
@@ -227,12 +269,14 @@ def mp_encode_pallas(
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
-    scores0 = jax.vmap(correlate_bank_jax, in_axes=(0, None))(xs, bank)  # [B,K,npos]
     scores0 = jnp.pad(scores0, ((0, 0), (0, 0), (0, npos_pad - npos)))
-    e0 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(1, 2))  # [B]
     weights = jnp.where(
         jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
     )[:, None]
+    peak = jnp.max(jnp.abs(scores0), axis=(1, 2))  # [B]
+    mc = jnp.float32(maxcode)
+    scale_in = jnp.where(peak > 0, peak / mc, jnp.float32(0))
+    inv_in = jnp.where(peak > 0, mc / peak, jnp.float32(0))
 
     kernel = functools.partial(
         _mp_kernel,
@@ -244,6 +288,8 @@ def mp_encode_pallas(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e0 [B, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_scale [B, 1]
             pl.BlockSpec(memory_space=pltpu.ANY),  # scores stay in HBM
             pl.BlockSpec((k, k, lag), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -276,7 +322,8 @@ def mp_encode_pallas(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(e0[:, None], scores0, jnp.asarray(gram_t), weights)
+    )(e0[:, None], scale_in[:, None], inv_in[:, None], scores0,
+      jnp.asarray(gram_t), weights)
     # SMEM event buffers beyond `count` are uninitialized — mask to match the
     # zero-padded contract of mp_encode_jax.
     mask = jnp.arange(num_coefs)[None, :] < count

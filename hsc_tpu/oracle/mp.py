@@ -132,9 +132,13 @@ def mp_encode(
 
     maxcode = (1 << (amp_bits - 1)) - 1
     # Quantizer step: covers the largest initial correlation.  Stored in the
-    # stream, so decode needs no other context.  float32 throughout.
+    # stream, so decode needs no other context.  float32 throughout.  The
+    # in-loop quantizer MULTIPLIES by inv_scale (one up-front exact IEEE
+    # division) — in-loop division is banned by spec because some backends
+    # lower it to an approximate reciprocal (SURVEY.md H2).
     peak = np.float32(np.max(np.abs(scores))) if scores.size else np.float32(0)
     scale = np.float32(peak / np.float32(maxcode)) if peak > 0 else np.float32(0)
+    inv_scale = np.float32(np.float32(maxcode) / peak) if peak > 0 else np.float32(0)
 
     if energy0 is None:
         e0 = float(np.float32(np.sum(np.square(x, dtype=np.float32), dtype=np.float32)))
@@ -158,7 +162,13 @@ def mp_encode(
             t = int(np.argmax(colmax))  # first max wins: lowest position
             f = int(np.argmax(weighted[:, t]))  # then lowest atom
             s = np.float32(scores[f, t])
-            code = int(np.clip(np.rint(np.float32(s / scale)), -maxcode, maxcode))
+            # Quantizer spec: round half away from zero, computed explicitly
+            # as sign * floor(|x| + 0.5) — exact in float32 for |x| < 2^23 on
+            # every backend (backend rint modes differ: NumPy/XLA round half
+            # to even, Mosaic rounds half away).
+            y = np.float32(s * inv_scale)
+            r = np.float32(np.floor(np.abs(y) + np.float32(0.5))) * np.sign(y)
+            code = int(np.clip(r, -maxcode, maxcode))
             if code == 0:
                 break  # below quantizer resolution — no progress possible
             c_hat = np.float32(np.float32(code) * scale)

@@ -97,6 +97,7 @@ def sp_encode(
         peak_loc = jnp.max(jnp.where(valid[None, :], jnp.abs(scores0), 0.0))
         peak = jax.lax.pmax(peak_loc, axis)
         scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
+        inv_scale = jnp.where(peak > 0, jnp.float32(maxcode) / peak, jnp.float32(0))
 
         e0 = jax.lax.psum(jnp.sum(jnp.square(x_loc)), axis)
         snr_thr = (
@@ -130,9 +131,10 @@ def sp_encode(
             col = jax.lax.dynamic_slice(scores_pad, (0, t_loc + (w - 1)), (k, 1))[:, 0]
             f_loc = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)
             s_loc = col[f_loc]
-            code_loc = jnp.clip(
-                jnp.rint(s_loc / scale), -maxcode, maxcode
-            ).astype(jnp.int32)
+            # quantizer spec: round half away from zero (see oracle.mp)
+            y = s_loc * inv_scale
+            r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+            code_loc = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
             packed = jnp.where(
                 am_winner,
                 jnp.stack(
