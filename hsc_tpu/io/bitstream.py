@@ -28,6 +28,7 @@ import numpy as np
 
 from ..config import CodecConfig
 from ..oracle.mp import LevelStream
+from . import native
 
 MAGIC = b"HSCT"
 VERSION = 1
@@ -35,10 +36,18 @@ VERSION = 1
 
 def _pack_bits(values: np.ndarray, widths: list[int]) -> bytes:
     """Pack rows of unsigned field `values [n, nfields]` using `widths` bits
-    per field, MSB-first, padded to a byte boundary."""
+    per field, MSB-first, padded to a byte boundary.
+
+    Dispatches to the native C++ packer (`native/bitpack.cpp` via
+    `io.native`) when available; the NumPy path below is the byte-identical
+    fallback and the semantic definition.
+    """
     n = values.shape[0]
     if n == 0:
         return b""
+    out = native.pack_events(values, widths)
+    if out is not None:
+        return out
     total = sum(widths)
     bits = np.zeros((n, total), dtype=np.uint8)
     col = 0
@@ -56,6 +65,9 @@ def _unpack_bits(data: bytes, n: int, widths: list[int]) -> np.ndarray:
     total = sum(widths)
     if n == 0:
         return np.zeros((0, len(widths)), dtype=np.uint64)
+    out = native.unpack_events(data, n, widths)
+    if out is not None:
+        return out
     flat = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * total)
     bits = flat.reshape(n, total)
     out = np.zeros((n, len(widths)), dtype=np.uint64)

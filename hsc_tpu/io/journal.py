@@ -1,0 +1,77 @@
+"""Block-granular encode journal — idempotent restart (SURVEY.md §5
+"Failure detection / elastic recovery").
+
+The reference has no recovery story (a crash loses the run).  Here the unit
+of work is one block's packed stream: each finished block appends its payload
+to a data file and a line ``block_id offset length crc32`` to the journal.
+On restart, finished blocks are skipped and their bytes reused; assembly
+always emits original block order regardless of completion order
+(multi-host: each process journals its own shard, process 0 assembles).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+
+class EncodeJournal:
+    def __init__(self, directory: str, name: str = "corpus"):
+        os.makedirs(directory, exist_ok=True)
+        self._jpath = os.path.join(directory, f"{name}.journal")
+        self._dpath = os.path.join(directory, f"{name}.blocks")
+        self._index: dict[int, tuple[int, int, int]] = {}  # id -> (off, len, crc)
+        self._load()
+        self._data = open(self._dpath, "ab")
+        self._journal = open(self._jpath, "a")
+
+    def _load(self) -> None:
+        if not (os.path.exists(self._jpath) and os.path.exists(self._dpath)):
+            return
+        size = os.path.getsize(self._dpath)
+        with open(self._jpath) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue  # torn write at crash — ignore
+                bid, off, length, crc = (int(p) for p in parts)
+                if off + length <= size:
+                    self._index[bid] = (off, length, crc)
+
+    @property
+    def done_blocks(self) -> set[int]:
+        return set(self._index)
+
+    def record(self, block_id: int, payload: bytes) -> None:
+        """Append one finished block (idempotent: re-recording is a no-op)."""
+        if block_id in self._index:
+            return
+        off = self._data.tell()
+        self._data.write(payload)
+        self._data.flush()
+        os.fsync(self._data.fileno())
+        crc = zlib.crc32(payload)
+        self._journal.write(f"{block_id} {off} {len(payload)} {crc}\n")
+        self._journal.flush()
+        os.fsync(self._journal.fileno())
+        self._index[block_id] = (off, len(payload), crc)
+
+    def read(self, block_id: int) -> bytes:
+        off, length, crc = self._index[block_id]
+        with open(self._dpath, "rb") as f:
+            f.seek(off)
+            data = f.read(length)
+        if zlib.crc32(data) != crc:
+            raise IOError(f"journal corruption at block {block_id}")
+        return data
+
+    def assemble(self, n_blocks: int) -> list[bytes]:
+        """Payloads for blocks [0, n_blocks) in original order."""
+        missing = [b for b in range(n_blocks) if b not in self._index]
+        if missing:
+            raise ValueError(f"blocks not yet encoded: {missing[:8]}...")
+        return [self.read(b) for b in range(n_blocks)]
+
+    def close(self) -> None:
+        self._data.close()
+        self._journal.close()

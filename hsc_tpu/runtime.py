@@ -1,0 +1,112 @@
+"""Corpus encode/decode runtime: batching, resume journal, metrics.
+
+This is the production path of BASELINE.json configs 2–3: batches of blocks
+through the device encoder (fused Pallas kernel on TPU), host bit-packing,
+block-granular journal for idempotent restart (SURVEY.md §5), per-batch
+metrics JSONL, and in-order container assembly.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+
+import numpy as np
+
+from .config import CodecConfig
+from .dictionary import MultilevelDictionary
+from .io.bitstream import MAGIC, VERSION, pack_stream, unpack_corpus
+from .io.journal import EncodeJournal
+from .models.coder import HierarchicalConvolutionalSparseCoder
+from .utils.metrics import MetricsLogger
+
+
+class CorpusEncoder:
+    """End-to-end corpus codec around a HierarchicalConvolutionalSparseCoder."""
+
+    def __init__(
+        self,
+        mld: MultilevelDictionary,
+        *,
+        backend: str = "auto",
+        batch_size: int = 64,
+        journal_dir: str | None = None,
+        metrics_path: str | None = None,
+        process_index: int = 0,
+    ):
+        self.mld = mld
+        self.cfg: CodecConfig = mld.config
+        self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
+        self.batch_size = int(batch_size)
+        self.journal = (
+            EncodeJournal(journal_dir) if journal_dir is not None else None
+        )
+        self.metrics = MetricsLogger(metrics_path, process_index)
+
+    # -- encode -------------------------------------------------------------
+
+    def _pack_block(self, top_stream) -> bytes:
+        top = self.cfg.num_levels - 1
+        return struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream)
+
+    def encode(self, blocks: np.ndarray) -> bytes:
+        """Encode ``[B, block_size]`` into the container format; resumable —
+        journaled blocks are skipped on restart."""
+        blocks = np.asarray(blocks, dtype=np.float32)
+        nb = blocks.shape[0]
+        done = self.journal.done_blocks if self.journal else set()
+        todo = [b for b in range(nb) if b not in done]
+        payloads: dict[int, bytes] = {}
+        top = self.cfg.num_levels - 1
+
+        for start in range(0, len(todo), self.batch_size):
+            ids = todo[start : start + self.batch_size]
+            t0 = time.perf_counter()
+            streams = self.coder.encode_batch(blocks[ids])
+            packed = [self._pack_block(s[top]) for s in streams]
+            dt = time.perf_counter() - t0
+            events = sum(s[top].positions.shape[0] for s in streams)
+            snrs = [s[top].snr_db() for s in streams]
+            self.metrics.log(
+                {
+                    "kind": "encode_batch",
+                    "blocks": len(ids),
+                    "seconds": dt,
+                    "mb_per_s": len(ids) * self.cfg.block_size * 4 / 1e6 / dt,
+                    "events": events,
+                    "coefs_per_sample": events / (len(ids) * self.cfg.block_size),
+                    "mean_snr_db": float(np.mean([s for s in snrs if np.isfinite(s)] or [0])),
+                    "bits_per_sample": 8.0
+                    * sum(len(p) for p in packed)
+                    / (len(ids) * self.cfg.block_size),
+                }
+            )
+            for bid, payload in zip(ids, packed):
+                payloads[bid] = payload
+                if self.journal:
+                    self.journal.record(bid, payload)
+
+        parts = []
+        cfg_json = self.cfg.to_json().encode()
+        parts.append(MAGIC)
+        parts.append(struct.pack("<BI", VERSION, len(cfg_json)))
+        parts.append(cfg_json)
+        parts.append(struct.pack("<I", nb))
+        for b in range(nb):
+            if b in payloads:
+                parts.append(payloads[b])
+            else:
+                parts.append(self.journal.read(b))
+        return b"".join(parts)
+
+    # -- decode -------------------------------------------------------------
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        cfg, blocks = unpack_corpus(blob)
+        if cfg != self.cfg:
+            raise ValueError("corpus config does not match this encoder")
+        out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
+        for b, streams in enumerate(blocks):
+            for level, stream in streams:
+                out[b] += self.coder.reconstruct(stream, level=level)
+        return out

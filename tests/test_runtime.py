@@ -1,0 +1,92 @@
+"""Runtime pipeline: journal resume, metrics, container round-trip
+(SURVEY.md §5 failure-recovery + metrics — net-new vs reference)."""
+
+import numpy as np
+import pytest
+
+from hsc_tpu import SignalGenerator
+from hsc_tpu.io import unpack_corpus
+from hsc_tpu.io.journal import EncodeJournal
+from hsc_tpu.runtime import CorpusEncoder
+from hsc_tpu.utils.metrics import MetricsLogger, read_metrics
+from hsc_tpu.utils import snr_db
+
+
+def test_journal_roundtrip(tmp_path):
+    j = EncodeJournal(str(tmp_path))
+    j.record(0, b"block-zero")
+    j.record(2, b"block-two")
+    assert j.done_blocks == {0, 2}
+    assert j.read(0) == b"block-zero"
+    j.record(0, b"SHOULD BE IGNORED")  # idempotent
+    assert j.read(0) == b"block-zero"
+    with pytest.raises(ValueError):
+        j.assemble(3)  # block 1 missing
+    j.record(1, b"one")
+    assert j.assemble(3) == [b"block-zero", b"one", b"block-two"]
+    j.close()
+
+    # reopen: state survives
+    j2 = EncodeJournal(str(tmp_path))
+    assert j2.done_blocks == {0, 1, 2}
+    assert j2.read(2) == b"block-two"
+    j2.close()
+
+
+def test_journal_ignores_torn_tail(tmp_path):
+    j = EncodeJournal(str(tmp_path))
+    j.record(0, b"ok")
+    j.close()
+    with open(str(tmp_path / "corpus.journal"), "a") as f:
+        f.write("1 999")  # torn line
+    j2 = EncodeJournal(str(tmp_path))
+    assert j2.done_blocks == {0}
+    j2.close()
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(p)
+    m.log({"kind": "x", "v": 1})
+    m.log({"kind": "y", "v": 2})
+    m.close()
+    rows = read_metrics(p)
+    assert [r["kind"] for r in rows] == ["x", "y"]
+    assert all("ts" in r for r in rows)
+    # nonzero process writes nothing
+    m2 = MetricsLogger(str(tmp_path / "m2.jsonl"), process_index=1)
+    m2.log({"kind": "z"})
+    m2.close()
+    assert not (tmp_path / "m2.jsonl").exists()
+
+
+def test_corpus_encoder_roundtrip_and_resume(tmp_path, mld1):
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(6, mld1.config.block_size, seed=71)
+    enc1 = CorpusEncoder(
+        mld1,
+        backend="jax",
+        batch_size=4,
+        journal_dir=str(tmp_path / "j"),
+        metrics_path=str(tmp_path / "m.jsonl"),
+    )
+    blob1 = enc1.encode(xs)
+    cfg, blocks = unpack_corpus(blob1)
+    assert cfg == mld1.config and len(blocks) == 6
+    decoded = enc1.decode(blob1)
+    for b in range(6):
+        assert snr_db(xs[b], decoded[b]) > 3.0
+
+    rows = read_metrics(str(tmp_path / "m.jsonl"))
+    assert sum(r["blocks"] for r in rows) == 6
+    assert all(r["mb_per_s"] > 0 for r in rows)
+
+    # resume: fresh encoder with same journal produces identical bytes and
+    # logs zero newly-encoded blocks
+    enc2 = CorpusEncoder(
+        mld1, backend="jax", batch_size=4, journal_dir=str(tmp_path / "j"),
+        metrics_path=str(tmp_path / "m2.jsonl"),
+    )
+    blob2 = enc2.encode(xs)
+    assert blob2 == blob1
+    assert read_metrics(str(tmp_path / "m2.jsonl")) == []
