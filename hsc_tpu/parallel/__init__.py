@@ -1,12 +1,15 @@
 from .mesh import make_mesh, initialize_distributed
 from .dp import DataParallelEncoder
 from .sp import sp_encode
-from .learn import distributed_kmeans_step
+from .tp import tp_encode
+from .learn import distributed_kmeans_step, distributed_kmeans
 
 __all__ = [
     "make_mesh",
     "initialize_distributed",
     "DataParallelEncoder",
     "sp_encode",
+    "tp_encode",
     "distributed_kmeans_step",
+    "distributed_kmeans",
 ]

@@ -1,0 +1,195 @@
+"""Tensor-parallel greedy MP — dictionary atoms sharded over 'model'
+(SURVEY.md §2.3 P2: for very large K, each chip scores its atom shard and the
+global winner is reduced over the mesh).
+
+Per iteration:
+  * each shard keeps scores for its K/S atoms and an incrementally-maintained
+    local colmax; the spec's two-stage selection becomes
+    `pmax` over shards of per-position maxima (position stage), then winner
+    extraction on the shard owning the best atom with a global atom-index
+    tie-break (`pmin` on the global atom id), then one packed `psum`
+    broadcast of (atom, code, score);
+  * the update is local by construction: shard rows g need
+    ``G[g, f_win, lag]`` — the Gram tensor is sharded on its FIRST axis, so
+    every shard holds exactly the rows it updates; no Gram data moves.
+
+Three small collectives per retained coefficient (same budget as the
+sequence-parallel mode); use when K is too large for one chip's VMEM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.encode import EncodedBlock
+
+
+def tp_encode(
+    mesh: Mesh,
+    x: jax.Array,
+    bank: jax.Array,
+    gram: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+    axis: str = "model",
+) -> EncodedBlock:
+    """Encode ONE block ``x [N, C]`` with atoms sharded over `axis`.
+
+    `gram` is the UNtransposed Gram tensor ``G[g, f, lag]`` (sharded on g).
+    Emits the single-device stream bit-for-bit given identical correlation
+    values (replicated greedy arithmetic; all shards return identical event
+    buffers).
+    """
+    k, w, c = bank.shape
+    if n_raw is None:
+        n_raw = k
+    s = int(mesh.shape[axis])
+    if k % s != 0:
+        raise ValueError(f"K={k} must divide the {axis}-axis size {s}")
+    kl = k // s
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    npos = n - w + 1
+    lag = 2 * w - 1
+    maxcode = float((1 << (amp_bits - 1)) - 1)
+    snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
+
+    def shard_fn(x_rep, bank_loc, gram_loc):
+        sid = jax.lax.axis_index(axis)
+        lhs = x_rep.T[None]
+        rhs = bank_loc.transpose(0, 2, 1)
+        scores0 = jax.lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]  # [KL, npos]
+        g0 = sid * kl  # first global atom id of this shard
+        weights = jnp.where(
+            (g0 + jnp.arange(kl)) < n_raw,
+            jnp.float32(1),
+            jnp.float32(singleton_weight),
+        )
+
+        peak = jax.lax.pmax(jnp.max(jnp.abs(scores0)), axis)
+        scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
+        inv_scale = jnp.where(peak > 0, jnp.float32(maxcode) / peak, jnp.float32(0))
+        e0 = jnp.sum(jnp.square(x_rep))  # replicated input -> identical
+        snr_thr = (
+            e0 * jnp.float32(snr_factor) if snr_factor is not None
+            else jnp.float32(-1)
+        )
+
+        scores_pad = jnp.zeros((kl, npos + 2 * w - 2), dtype=jnp.float32)
+        scores_pad = jax.lax.dynamic_update_slice(scores_pad, scores0, (0, w - 1))
+        colmax_pad = jnp.zeros((npos + 2 * w - 2,), dtype=jnp.float32)
+        colmax_pad = jax.lax.dynamic_update_slice(
+            colmax_pad, jnp.max(jnp.abs(scores0) * weights[:, None], axis=0), (w - 1,)
+        )
+        big = jnp.int32(k + 1)
+
+        def body(carry, _):
+            scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+            # position stage: global per-position max = pmax of local colmax
+            colmax_loc = jax.lax.dynamic_slice(colmax_pad, (w - 1,), (npos,))
+            colmax_glob = jax.lax.pmax(colmax_loc, axis)
+            t = jnp.argmax(colmax_glob).astype(jnp.int32)  # ties: lowest position
+            # atom stage: owner = shard whose local column max matches the
+            # global; tie-break lowest GLOBAL atom id via pmin
+            col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (kl, 1))[:, 0]
+            wcol = jnp.abs(col) * weights
+            f_loc = jnp.argmax(wcol).astype(jnp.int32)
+            v_loc = wcol[f_loc]
+            v_glob = colmax_glob[t]
+            f_cand = jnp.where(v_loc == v_glob, g0 + f_loc, big).astype(jnp.int32)
+            f_glob = jax.lax.pmin(f_cand, axis)
+            am_winner = f_cand == f_glob
+            s_loc = col[f_loc]
+            y = s_loc * inv_scale
+            r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+            code_loc = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
+            packed = jnp.where(
+                am_winner,
+                jnp.stack([code_loc.astype(jnp.float32), s_loc]),
+                jnp.zeros((2,), jnp.float32),
+            )
+            code_g, s_val = jax.lax.psum(packed, axis)
+            code = code_g.astype(jnp.int32)
+
+            emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+            c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+
+            positions = positions.at[count].set(jnp.where(emit, t, positions[count]))
+            atoms = atoms.at[count].set(jnp.where(emit, f_glob, atoms[count]))
+            codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+            count = count + emit.astype(jnp.int32)
+
+            e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s_val)
+            e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+            e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+
+            # local update: this shard's Gram rows against the global winner
+            gram_rows = jax.lax.dynamic_slice(
+                gram_loc, (0, f_glob, 0), (kl, 1, lag)
+            )[:, 0, :]  # [KL, lag] = G[g_local, f_win, :]
+            window = jax.lax.dynamic_slice(scores_pad, (0, t), (kl, lag))
+            window = window - jax.lax.optimization_barrier(c_hat * gram_rows)
+            scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, t))
+            colmax_pad = jax.lax.dynamic_update_slice(
+                colmax_pad,
+                jnp.max(jnp.abs(window) * weights[:, None], axis=0),
+                (t,),
+            )
+            done = jnp.logical_or(
+                jnp.logical_or(done, code == 0),
+                jnp.logical_and(emit, e_res <= snr_thr),
+            )
+            return (
+                scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count,
+            ), None
+
+        init = (
+            scores_pad,
+            colmax_pad,
+            e0,
+            scale <= 0,
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.zeros((num_coefs,), dtype=jnp.int32),
+            jnp.int32(0),
+        )
+        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = (
+            jax.lax.scan(body, init, None, length=num_coefs)
+        )
+        return EncodedBlock(
+            positions=positions,
+            atoms=atoms,
+            codes=codes,
+            count=count,
+            scale=scale,
+            energy0=e0,
+            energy_res=jnp.maximum(e_res, jnp.float32(0)),
+        )
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(axis, None, None)),
+        out_specs=EncodedBlock(
+            positions=P(), atoms=P(), codes=P(), count=P(),
+            scale=P(), energy0=P(), energy_res=P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shard)(
+        x, jnp.asarray(bank, jnp.float32), jnp.asarray(gram, jnp.float32)
+    )

@@ -121,3 +121,32 @@ def test_distributed_kmeans_matches_single(mesh):
     # psum changes fp association of the sums; allow ulp-level tolerance
     np.testing.assert_allclose(new, ref, atol=1e-5, rtol=1e-5)
     assert obj > 0
+
+
+def test_tp_encode_matches_single_device(mld1):
+    """Atom-sharded (tensor-parallel) encode over 4 devices emits the
+    single-device stream (16 atoms / 4 shards)."""
+    from hsc_tpu.parallel import tp_encode
+
+    cfg = mld1.config
+    gen = SignalGenerator(mld1, rates=4e-3)
+    x = gen.generate_signals(1, cfg.block_size, seed=63)[0]
+    bank = mld1.augmented(0)
+    gram = mld1.gram(0)
+    gram_t = np.ascontiguousarray(gram.transpose(1, 0, 2))
+    mesh = make_mesh({"model": 4}, devices=jax.devices()[:4])
+
+    single = mp_encode_jax(
+        jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0],
+    )
+    tp = tp_encode(
+        mesh, jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram),
+        num_coefs=cfg.num_coefs[0],
+    )
+    n = int(single.count)
+    assert int(tp.count) == n
+    np.testing.assert_array_equal(np.asarray(tp.positions[:n]), np.asarray(single.positions[:n]))
+    np.testing.assert_array_equal(np.asarray(tp.atoms[:n]), np.asarray(single.atoms[:n]))
+    np.testing.assert_array_equal(np.asarray(tp.codes[:n]), np.asarray(single.codes[:n]))
+    assert np.float32(tp.scale) == np.float32(single.scale)
