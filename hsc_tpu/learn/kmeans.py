@@ -166,13 +166,14 @@ class ConvolutionalDictionaryLearner:
         return wn[np.asarray(chosen)].astype(np.float32)
 
     def train(
-        self, xs: np.ndarray, *, mesh_axis: str | None = None
+        self, xs: np.ndarray, *, mesh=None, mesh_axis: str = "data"
     ) -> np.ndarray:
         """Learn ``[K, W, C]`` filters from blocks ``[B, N, C]``.
 
-        With `mesh_axis` set, the caller is inside `shard_map` and the
-        (sums, counts, objective) are psum'd over that axis before the update
-        (identical broadcast update on all replicas — SURVEY.md P8).
+        With a `mesh`, windows are sharded over `mesh_axis` and each
+        refinement step runs as the psum'd distributed update
+        (`parallel.learn.distributed_kmeans_step` — SURVEY.md P8); the
+        resulting dictionary is replica-identical.
         """
         windows = extract_windows(
             xs, self.window, self.num_windows, mode=self.extraction, seed=self.seed
@@ -185,15 +186,28 @@ class ConvolutionalDictionaryLearner:
             return cents.reshape(self.k, self.window, self.channels)
 
         cents = jnp.asarray(self._init_centroids(flat))
-        wdev = jnp.asarray(flat)
         self.objective_history = []
-        for _ in range(self.iterations):
-            stats = kmeans_assign_update(wdev, cents)
-            sums, counts, obj = stats.sums, stats.counts, stats.objective
-            if mesh_axis is not None:
-                sums = jax.lax.psum(sums, mesh_axis)
-                counts = jax.lax.psum(counts, mesh_axis)
-                obj = jax.lax.psum(obj, mesh_axis)
-            cents = normalize_centroids(sums, counts, cents)
-            self.objective_history.append(float(obj))
+        if mesh is not None:
+            from ..parallel.learn import distributed_kmeans_step
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shards = int(mesh.shape[mesh_axis])
+            pad = (-m) % shards
+            if pad:
+                # zero windows assign somewhere with score 0 and contribute
+                # zero to sums; counts inflate harmlessly (normalize is
+                # direction-only)
+                flat = np.concatenate([flat, np.zeros((pad, flat.shape[1]), flat.dtype)])
+            wdev = jax.device_put(
+                jnp.asarray(flat), NamedSharding(mesh, P(mesh_axis, None))
+            )
+            for _ in range(self.iterations):
+                cents, obj = distributed_kmeans_step(mesh, wdev, cents, axis=mesh_axis)
+                self.objective_history.append(float(obj))
+        else:
+            wdev = jnp.asarray(flat)
+            for _ in range(self.iterations):
+                stats = kmeans_assign_update(wdev, cents)
+                cents = normalize_centroids(stats.sums, stats.counts, cents)
+                self.objective_history.append(float(stats.objective))
         return np.asarray(cents).reshape(self.k, self.window, self.channels)

@@ -45,6 +45,7 @@ class MultilevelTrainer:
         iterations: int = 20,
         seed: int = 0,
         checkpoint_dir: str | None = None,
+        mesh=None,
     ):
         self.config = config
         self.algorithm = algorithm
@@ -52,6 +53,7 @@ class MultilevelTrainer:
         self.iterations = iterations
         self.seed = seed
         self.checkpoint_dir = checkpoint_dir
+        self.mesh = mesh  # shard k-means stats over 'data' when given (P8)
 
     def _learn_level(self, level: int, seqs: np.ndarray) -> np.ndarray:
         cfg = self.config
@@ -64,7 +66,7 @@ class MultilevelTrainer:
             iterations=self.iterations,
             seed=self.seed + level,
         )
-        return learner.train(seqs)
+        return learner.train(seqs, mesh=self.mesh)
 
     def _encode_level(
         self, level: int, dicts: list[np.ndarray], seqs: np.ndarray

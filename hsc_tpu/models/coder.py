@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..config import CodecConfig
 from ..dictionary import MultilevelDictionary
 from ..io import pack_corpus, unpack_corpus
-from ..ops.decode import mp_decode_jax
+from ..ops.decode import mp_decode_batch_jax, mp_decode_jax
 from ..ops.encode import EncodedBlock, feature_map_jax, mp_encode_jax
 from ..oracle.mp import LevelStream
 
@@ -297,6 +297,32 @@ class HierarchicalConvolutionalSparseCoder:
             n=cfg.block_size,
         )
         return np.asarray(out)[:, 0]
+
+    def reconstruct_batch(
+        self, streams: list[LevelStream], level: int | None = None
+    ) -> np.ndarray:
+        """Batched reconstruction ``[B, block_size]`` — one jit'd vmap, per
+        block byte-identical to `reconstruct`."""
+        cfg = self.cfg
+        if level is None:
+            level = cfg.num_levels - 1
+        cap = max(cfg.num_coefs[level], 1)
+        nb = len(streams)
+        pos = np.zeros((nb, cap), np.int32)
+        atm = np.zeros((nb, cap), np.int32)
+        cds = np.zeros((nb, cap), np.int32)
+        cnt = np.zeros((nb,), np.int32)
+        scl = np.zeros((nb,), np.float32)
+        for b, s in enumerate(streams):
+            p, a, c, n = _pad_stream(s, cap)
+            pos[b], atm[b], cds[b], cnt[b] = p, a, c, n
+            scl[b] = np.float32(s.scale)
+        out = mp_decode_batch_jax(
+            jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+            jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],
+            n=cfg.block_size,
+        )
+        return np.asarray(out)[:, :, 0]
 
     # -- corpus pipeline (config 2/3 of BASELINE.json) ----------------------
 

@@ -51,3 +51,21 @@ def mp_decode_jax(
     out0 = jnp.zeros((n, c), dtype=jnp.float32)
     out, _ = jax.lax.scan(body, out0, jnp.arange(m))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mp_decode_batch_jax(
+    positions: jax.Array,  # [B, M] i32
+    atoms: jax.Array,  # [B, M] i32
+    codes: jax.Array,  # [B, M] i32
+    count: jax.Array,  # [B] i32
+    scale: jax.Array,  # [B] f32
+    bank: jax.Array,  # [K, W, C]
+    *,
+    n: int,
+) -> jax.Array:
+    """Batched decode ``-> [B, N, C]`` — one jit'd vmap over blocks, same
+    stream-order bitwise contract per block as `mp_decode_jax`."""
+    return jax.vmap(
+        lambda p, a, cd, ct, sc: mp_decode_jax(p, a, cd, ct, sc, bank, n=n)
+    )(positions, atoms, codes, count, scale)

@@ -69,3 +69,26 @@ class DataParallelEncoder:
         enc = self._fn(arr, self.mp.bank, self.mp.gram_t)
         host = jax.device_get(enc)  # gathers shards in block order
         return EncodedBlock(*(np.asarray(v)[:b] for v in host))
+
+    def encode_multihost(self, local_blocks: np.ndarray, n_global: int) -> EncodedBlock:
+        """Multi-host SPMD encode (SURVEY.md §2.3 P9): every process passes
+        its host-local slice of the corpus (deterministic block->host
+        assignment: process p owns blocks [p*n_local, (p+1)*n_local)); the
+        padded results are allgathered so every host sees the full corpus in
+        original block order (process 0 packs the container).
+
+        Single-process this degenerates to `encode`.
+        """
+        local_blocks = np.asarray(local_blocks, dtype=np.float32)
+        if local_blocks.ndim == 2:
+            local_blocks = local_blocks[:, :, None]
+        if jax.process_count() == 1:
+            return self.encode(local_blocks[:n_global])
+        from jax.experimental import multihost_utils
+
+        arr = jax.make_array_from_process_local_data(
+            self._data_sharding, local_blocks
+        )
+        enc = self._fn(arr, self.mp.bank, self.mp.gram_t)
+        host = multihost_utils.process_allgather(enc, tiled=True)
+        return EncodedBlock(*(np.asarray(v)[:n_global] for v in host))

@@ -105,8 +105,23 @@ class CorpusEncoder:
         cfg, blocks = unpack_corpus(blob)
         if cfg != self.cfg:
             raise ValueError("corpus config does not match this encoder")
-        out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
-        for b, streams in enumerate(blocks):
-            for level, stream in streams:
-                out[b] += self.coder.reconstruct(stream, level=level)
+        top = cfg.num_levels - 1
+        t0 = time.perf_counter()
+        if all(len(s) == 1 and s[0][0] == top for s in blocks):
+            # common shape (one top-level stream per block): one batched decode
+            out = self.coder.reconstruct_batch([s[0][1] for s in blocks], level=top)
+        else:
+            out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
+            for b, streams in enumerate(blocks):
+                for level, stream in streams:
+                    out[b] += self.coder.reconstruct(stream, level=level)
+        dt = time.perf_counter() - t0
+        self.metrics.log(
+            {
+                "kind": "decode",
+                "blocks": len(blocks),
+                "seconds": dt,
+                "mb_per_s": len(blocks) * cfg.block_size * 4 / 1e6 / dt,
+            }
+        )
         return out

@@ -150,3 +150,42 @@ def test_tp_encode_matches_single_device(mld1):
     np.testing.assert_array_equal(np.asarray(tp.atoms[:n]), np.asarray(single.atoms[:n]))
     np.testing.assert_array_equal(np.asarray(tp.codes[:n]), np.asarray(single.codes[:n]))
     assert np.float32(tp.scale) == np.float32(single.scale)
+
+
+def test_learner_with_mesh_close_to_local(mesh):
+    """Mesh-sharded k-means training produces a dictionary close to the
+    single-device one (psum reassociation allows ulp drift that can flip
+    borderline assignments; require strong atom-level agreement)."""
+    from hsc_tpu.learn import ConvolutionalDictionaryLearner
+    from hsc_tpu import SignalGenerator, MultilevelDictionary, make_test_config
+
+    cfg = make_test_config(counts=(6,), scales=(12,), num_coefs=(16,), block_size=512)
+    mld = MultilevelDictionary.generate(cfg, seed=5)
+    xs = SignalGenerator(mld, rates=2e-2).generate_signals(8, 512, seed=6)
+
+    def learn(mesh_arg):
+        l = ConvolutionalDictionaryLearner(
+            6, 12, 1, algorithm="kmean", num_windows=512, iterations=8, seed=0
+        )
+        return l.train(xs, mesh=mesh_arg)
+
+    local = learn(None)
+    sharded = learn(mesh)
+    assert sharded.shape == local.shape
+    # every local atom has a near-identical sharded counterpart
+    a = local.reshape(6, -1)
+    b = sharded.reshape(6, -1)
+    sims = np.abs(a @ b.T)
+    assert float(np.min(np.max(sims, axis=1))) > 0.99
+
+
+def test_dp_encode_multihost_single_process(mesh, mld1):
+    """encode_multihost degenerates to encode for one process."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(8, mld1.config.block_size, seed=53)
+    coder = ConvolutionalSparseCoder(mld1)
+    dp = DataParallelEncoder(mesh, coder.mp)
+    a = dp.encode(xs)
+    b = dp.encode_multihost(xs, n_global=8)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.count, b.count)

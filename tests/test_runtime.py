@@ -78,8 +78,10 @@ def test_corpus_encoder_roundtrip_and_resume(tmp_path, mld1):
         assert snr_db(xs[b], decoded[b]) > 3.0
 
     rows = read_metrics(str(tmp_path / "m.jsonl"))
-    assert sum(r["blocks"] for r in rows) == 6
+    enc_rows = [r for r in rows if r["kind"] == "encode_batch"]
+    assert sum(r["blocks"] for r in enc_rows) == 6
     assert all(r["mb_per_s"] > 0 for r in rows)
+    assert any(r["kind"] == "decode" for r in rows)
 
     # resume: fresh encoder with same journal produces identical bytes and
     # logs zero newly-encoded blocks
