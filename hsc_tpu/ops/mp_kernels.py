@@ -62,7 +62,7 @@ def _mp_kernel(
     eres_ref,  # [B, 1] f32 SMEM
     # scratch
     scores,  # [K, P2] f32 VMEM
-    colmax,  # [1, P2] f32 VMEM
+    colmax,  # [8, L8 + CW] f32 VMEM — position-folded selection cache
     prod,  # [K, CW] f32 VMEM (FMA-contraction firewall, see below)
     sem,  # DMA semaphore
     *,
@@ -73,10 +73,18 @@ def _mp_kernel(
     num_coefs: int,
     maxcode: float,
     snr_factor: float | None,
+    fold: int,
 ):
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)  # aligned chunk width covering any window
-    p2 = _LPAD + npos_pad + cw
+    # colmax is folded position-major into `fold` sublane rows so selection
+    # runs at full VPU width: position p lives at (row p // L8, lane p % L8).
+    # Row-major order == position order, so max+min-index selection keeps the
+    # spec tie-break (lowest position).  L8 is 128-aligned; each row carries
+    # CW slack lanes so the (aligned) window RMW below never leaves its row.
+    npos_pad8 = _round_up(npos, fold * 128)
+    l8 = npos_pad8 // fold
+    p2 = _LPAD + npos_pad8 + cw
     b_idx = pl.program_id(0)
 
     # ---- load scores into the padded VMEM scratch -------------------------
@@ -87,7 +95,7 @@ def _mp_kernel(
     cp.start()
     cp.wait()
 
-    valid = scores[:, _LPAD : _LPAD + npos_pad]  # [K, npos_pad] (tail zeros)
+
     # Quantizer steps are computed by XLA in the init stage (exact IEEE
     # divisions); the kernel never divides — some backends lower in-loop
     # fdiv to an approximate reciprocal (SURVEY.md H2).
@@ -95,17 +103,20 @@ def _mp_kernel(
     inv_scale = inv_ref[b_idx, 0]
     scale_ref[b_idx, 0] = scale
 
-    # colmax cache (selection spec: best position, then best atom).  Pad
-    # lanes — including the [npos, npos_pad) alignment tail, which Gram
-    # updates can spill real values into — are parked at -1; real colmax is
-    # >= 0 and argmax takes the first lane on ties, so pads can never win.
-    colmax[:, :] = jnp.full((1, p2), -1.0, jnp.float32)
-    tail_ok = jax.lax.broadcasted_iota(jnp.int32, (1, npos_pad), 1) < npos
-    colmax[:, _LPAD : _LPAD + npos_pad] = jnp.where(
-        tail_ok,
-        jnp.max(jnp.abs(valid) * w_ref[:, :1], axis=0)[None, :],
-        jnp.float32(-1),
-    )
+    # Folded colmax init: one static row per 8th of the position axis.  Pad
+    # lanes — alignment tail and RMW slack, which Gram updates can spill real
+    # values into — are parked at -1; real colmax is >= 0 and selection takes
+    # the lowest position on ties, so pads can never win.
+    colmax[:, :] = jnp.full((fold, l8 + cw), -1.0, jnp.float32)
+    row_cols = jax.lax.broadcasted_iota(jnp.int32, (1, l8), 1)
+    fold_rows = []
+    for r in range(fold):
+        seg = scores[:, _LPAD + r * l8 : _LPAD + (r + 1) * l8]  # [K, L8]
+        cm_r = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
+        fold_rows.append(
+            jnp.where(row_cols + r * l8 < npos, cm_r, jnp.float32(-1))
+        )
+    colmax[:, :l8] = jnp.concatenate(fold_rows, axis=0)
 
     e0 = e0_ref[b_idx, 0]
     snr_thr = (
@@ -118,11 +129,22 @@ def _mp_kernel(
         return jnp.logical_and(i < num_coefs, jnp.logical_not(done))
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    fold_rows_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 0)
+    fold_cols_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 1)
+    fold_pos_ids = fold_rows_ids * l8 + fold_cols_ids  # position of each cell
+    big_pos = jnp.int32(npos_pad8 + 1)
+    rmw_rows = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 0)
+    rmw_lanes = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 1)
 
     def body(state):
         i, done, e_res, count = state
-        cm_valid = colmax[:, _LPAD : _LPAD + npos_pad]  # [1, npos_pad]
-        t = jnp.argmax(cm_valid, axis=1)[0].astype(jnp.int32)
+        # full-VPU-width two-pass selection over the folded cache: global max,
+        # then the LOWEST position holding it (spec tie-break)
+        cm_fold = colmax[:, :l8]
+        m = jnp.max(cm_fold)
+        t = jnp.min(
+            jnp.where(cm_fold == m, fold_pos_ids, big_pos)
+        ).astype(jnp.int32)
         # window of positions [t-(W-1), t+(W-1)] = padded cols [cs, cs+lag);
         # load the 128-aligned chunk guaranteed to contain it
         cs = t + _LPAD - (w - 1)
@@ -174,15 +196,32 @@ def _mp_kernel(
         prod[:, :] = c_hat * u
         chunk_new = chunk - prod[:, :]
         scores[:, pl.ds(a, cw)] = chunk_new
-        # exact colmax refresh over the chunk; lanes outside the real position
-        # range (left pad / alignment tail) stay parked at -1
+        # exact colmax refresh over the chunk; positions outside [0, npos)
+        # stay parked at -1
         gpos = lane_ids + (a - _LPAD)
         cm = jnp.where(
             jnp.logical_and(gpos >= 0, gpos < npos),
             jnp.max(jnp.abs(chunk_new) * w_ref[:, :1], axis=0)[None, :],
             jnp.float32(-1),
         )
-        colmax[:, pl.ds(a, cw)] = cm
+        # Write cm into the folded cache with two aligned read-modify-write
+        # blends.  Chunk positions [p0, p0+CW) live in fold row r0 at lanes
+        # [c0, c0+CW) (possibly spilling into the row's slack lanes — never
+        # selected) and, when the chunk crosses a row boundary, also at the
+        # head of row r0+1 (the authoritative copy selection reads).
+        p0 = a - _LPAD
+        r0 = jnp.floor_divide(p0, l8)
+        c0 = pl.multiple_of(p0 - r0 * l8, 128)
+        cm8 = jnp.broadcast_to(cm, (fold, cw))
+        sub_a = colmax[:, pl.ds(c0, cw)]
+        colmax[:, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
+        shift_b = jnp.mod(c0 - l8, cw)
+        cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, cw))
+        d_b = c0 + cw - l8  # overlap width into the next row (<= 0: none)
+        sub_b = colmax[:, :cw]
+        colmax[:, :cw] = jnp.where(
+            jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
+        )
 
         new_done = jnp.logical_or(
             jnp.logical_not(emit),
@@ -265,7 +304,14 @@ def _mp_pallas_stage(
     npos_pad = _round_up(npos, 128)
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)
-    p2 = _LPAD + npos_pad + cw
+    # largest fold (sublane rows of the selection cache) whose row length
+    # still covers one update chunk
+    fold = 8
+    while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
+        fold //= 2
+    npos_pad8 = _round_up(npos, fold * 128)
+    l8 = npos_pad8 // fold
+    p2 = _LPAD + npos_pad8 + cw
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
@@ -281,7 +327,7 @@ def _mp_pallas_stage(
     kernel = functools.partial(
         _mp_kernel,
         k=k, w=w, npos=npos, npos_pad=npos_pad, num_coefs=num_coefs,
-        maxcode=maxcode, snr_factor=snr_factor,
+        maxcode=maxcode, snr_factor=snr_factor, fold=fold,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -304,7 +350,7 @@ def _mp_pallas_stage(
         ],
         scratch_shapes=[
             pltpu.VMEM((k, p2), jnp.float32),
-            pltpu.VMEM((1, p2), jnp.float32),
+            pltpu.VMEM((fold, l8 + cw), jnp.float32),
             pltpu.VMEM((k, cw), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
