@@ -42,6 +42,9 @@ class CodecConfig:
         `singletonWeight`.)
       amp_bits: amplitude quantizer width (signed); 16 => codes in
         [-32767, 32767] with a per-(block, level) float32 scale in the stream.
+      num_select: selections per greedy sweep (reference kwarg `nbBlocks`):
+        1 = plain greedy; >1 = one candidate per contiguous position segment,
+        accepted left-to-right under a 2W-1 interference guard.
     """
 
     counts: tuple[int, ...] = (64,)
@@ -51,6 +54,7 @@ class CodecConfig:
     tolerance_snr: float | None = None
     singleton_weight: float = 0.9
     amp_bits: int = 16
+    num_select: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "counts", tuple(int(c) for c in self.counts))
@@ -64,6 +68,8 @@ class CodecConfig:
             raise ValueError("scales must be strictly increasing")
         if not (2 <= self.amp_bits <= 16):
             raise ValueError("amp_bits must be in [2, 16]")
+        if self.num_select < 1:
+            raise ValueError("num_select must be >= 1")
 
     # ---- derived geometry -------------------------------------------------
 

@@ -78,6 +78,7 @@ class ConvolutionalMatchingPursuit:
         singleton_weight: float = 1.0,
         n_raw: int | None = None,
         backend: str = "auto",
+        num_select: int = 1,
     ):
         self.bank = jnp.asarray(bank, dtype=jnp.float32)
         # gram_t[f] = G[:, f, :] — the contiguous per-selection update row.
@@ -90,6 +91,8 @@ class ConvolutionalMatchingPursuit:
             backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jax"
         if backend not in ("jax", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown backend {backend!r}")
+        if num_select > 1 and backend.startswith("pallas"):
+            backend = "jax"  # multi-select sweeps run on the XLA path
         self.backend = backend
         self.settings = dict(
             num_coefs=int(num_coefs),
@@ -97,6 +100,7 @@ class ConvolutionalMatchingPursuit:
             tolerance_snr=tolerance_snr,
             singleton_weight=float(singleton_weight),
             n_raw=n_raw if n_raw is not None else int(bank.shape[0]),
+            num_select=int(num_select),
         )
         self._batched = jax.jit(
             jax.vmap(
@@ -124,12 +128,13 @@ class ConvolutionalMatchingPursuit:
         if self.backend.startswith("pallas"):
             from ..ops.mp_kernels import mp_encode_pallas
 
+            settings = {k_: v for k_, v in self.settings.items() if k_ != "num_select"}
             return mp_encode_pallas(
                 xs,
                 self.bank,
                 self.gram_t,
                 interpret=self.backend == "pallas_interpret",
-                **self.settings,
+                **settings,
             )
         return self._batched(xs, self.bank, self.gram_t)
 
@@ -152,6 +157,7 @@ class ConvolutionalSparseCoder:
             singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
             n_raw=cfg.counts[level],
             backend=backend,
+            num_select=cfg.num_select,
         )
 
     def encode(self, x) -> LevelStream:

@@ -53,6 +53,7 @@ class EncodedBlock(NamedTuple):
         "tolerance_snr",
         "singleton_weight",
         "n_raw",
+        "num_select",
     ),
 )
 def mp_encode_jax(
@@ -65,6 +66,7 @@ def mp_encode_jax(
     tolerance_snr: float | None = None,
     singleton_weight: float = 1.0,
     n_raw: int | None = None,
+    num_select: int = 1,
 ) -> EncodedBlock:
     """Encode one block ``x [N, C]`` against ``bank [K, W, C]``.
 
@@ -107,7 +109,12 @@ def mp_encode_jax(
     # §3.3).  max has no rounding, so maintaining only the updated window is
     # bitwise identical to a full recompute, at O(K*(2W-1)) per iteration
     # instead of O(K*Npos).
-    colmax_pad = jnp.zeros((npos + 2 * w - 2,), dtype=jnp.float32)
+    # extra tail so multi-select segment slices never clamp (harmless zeros;
+    # masked at selection time)
+    seg_extra = (
+        (-(-npos // num_select)) * num_select - npos if num_select > 1 else 0
+    )
+    colmax_pad = jnp.zeros((npos + 2 * w - 2 + seg_extra,), dtype=jnp.float32)
     colmax_pad = jax.lax.dynamic_update_slice(
         colmax_pad, jnp.max(jnp.abs(scores0) * weights[:, None], axis=0), (w - 1,)
     )
@@ -159,9 +166,79 @@ def mp_encode_jax(
         jnp.zeros((num_coefs,), dtype=jnp.int32),
         jnp.int32(0),
     )
-    (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = jax.lax.scan(
-        body, init, None, length=num_coefs
-    )
+    if num_select <= 1:
+        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = (
+            jax.lax.scan(body, init, None, length=num_coefs)
+        )
+    else:
+        # multi-select sweeps (reference `nbBlocks` — see oracle.mp.mp_encode):
+        # one candidate per contiguous position segment per sweep, accepted
+        # left-to-right with a 2W-1 interference guard so the per-sweep update
+        # windows are disjoint.
+        seg_len = -(-npos // num_select)
+        seg_ids = jnp.arange(seg_len)
+
+        def seg_body(j, carry):
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count, last_t, any_acc) = carry
+            lo = j * seg_len
+            seg = jax.lax.dynamic_slice(colmax_pad, (w - 1 + lo,), (seg_len,))
+            seg = jnp.where(lo + seg_ids < npos, seg, jnp.float32(-1))
+            t = (lo + jnp.argmax(seg)).astype(jnp.int32)
+            col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (k, 1))[:, 0]
+            f = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)
+            s = col[f]
+            y = s * inv_scale
+            r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+            code = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
+            guard_ok = jnp.logical_or(last_t < 0, t - last_t >= 2 * w - 1)
+            emit = (
+                jnp.logical_not(done)
+                & (code != 0)
+                & guard_ok
+                & (count < num_coefs)
+            )
+            c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+            positions = positions.at[count].set(jnp.where(emit, t, positions[count]))
+            atoms = atoms.at[count].set(jnp.where(emit, f, atoms[count]))
+            codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+            count = count + emit.astype(jnp.int32)
+            e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s)
+            e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+            e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+            window = jax.lax.dynamic_slice(scores_pad, (0, t), (k, lag))
+            window = window - jax.lax.optimization_barrier(c_hat * gram_t[f])
+            scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, t))
+            colmax_pad = jax.lax.dynamic_update_slice(
+                colmax_pad, jnp.max(jnp.abs(window) * weights[:, None], axis=0), (t,)
+            )
+            last_t = jnp.where(emit, t, last_t)
+            any_acc = jnp.logical_or(any_acc, emit)
+            done = jnp.logical_or(done, jnp.logical_and(emit, e_res <= snr_thr))
+            return (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+                    count, last_t, any_acc)
+
+        def sweep_cond(carry):
+            (_, _, _, done, _, _, _, count) = carry
+            return jnp.logical_and(jnp.logical_not(done), count < num_coefs)
+
+        def sweep_body(carry):
+            scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+            out = jax.lax.fori_loop(
+                0,
+                num_select,
+                seg_body,
+                (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+                 count, jnp.int32(-1), jnp.bool_(False)),
+            )
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count, _, any_acc) = out
+            done = jnp.logical_or(done, jnp.logical_not(any_acc))
+            return (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count)
+
+        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count) = (
+            jax.lax.while_loop(sweep_cond, sweep_body, init)
+        )
     return EncodedBlock(
         positions=positions,
         atoms=atoms,

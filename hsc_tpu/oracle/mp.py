@@ -93,6 +93,7 @@ def mp_encode(
     n_raw: int | None = None,
     scores0: np.ndarray | None = None,
     energy0: float | None = None,
+    num_select: int = 1,
 ) -> LevelStream:
     """Greedy convolutional MP of one block against one (augmented) bank.
 
@@ -114,6 +115,16 @@ def mp_encode(
     compare the TPU encoder against this oracle); left as None, they are
     computed here in NumPy and the oracle is a self-contained encoder of the
     same spec family.
+
+    `num_select` (reference kwarg `nbBlocks` — SURVEY.md §2 C4 "multi-block
+    selection of several far-apart maxima per sweep with an interference
+    guard"): positions are split into `num_select` contiguous segments; each
+    sweep selects one candidate per segment (two-stage rule within the
+    segment), then accepts them left-to-right, skipping any candidate closer
+    than 2W-1 to the previously accepted one (so the per-sweep updates touch
+    disjoint windows and every accepted score is exact).  Amortizes selection
+    cost across several retained coefficients at a small greediness cost;
+    `num_select=1` is the plain greedy spec.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
@@ -155,7 +166,49 @@ def mp_encode(
     )
 
     positions, atoms, codes = [], [], []
-    if scale > 0:
+    if scale > 0 and num_select > 1:
+        s_count = int(num_select)
+        seg_len = -(-npos // s_count)
+        done = False
+        while not done and len(positions) < int(num_coefs):
+            weighted = np.abs(scores) * weights[:, None]
+            colmax = weighted.max(axis=0)
+            accepted_last = None
+            accepted_any = False
+            for j in range(s_count):
+                if len(positions) >= int(num_coefs):
+                    break
+                lo = j * seg_len
+                hi = min((j + 1) * seg_len, npos)
+                if lo >= hi:
+                    continue
+                t = lo + int(np.argmax(colmax[lo:hi]))  # ties: lowest position
+                f = int(np.argmax(weighted[:, t]))  # ties: lowest atom
+                s = np.float32(scores[f, t])
+                y = np.float32(s * inv_scale)
+                r = np.float32(np.floor(np.abs(y) + np.float32(0.5))) * np.sign(y)
+                code = int(np.clip(r, -maxcode, maxcode))
+                if code == 0:
+                    continue
+                if accepted_last is not None and t - accepted_last < 2 * w - 1:
+                    continue  # interference guard: windows must stay disjoint
+                c_hat = np.float32(np.float32(code) * scale)
+                positions.append(t)
+                atoms.append(f)
+                codes.append(code)
+                accepted_last = t
+                accepted_any = True
+                e_res = np.float32(e_res - np.float32(2.0) * c_hat * s + c_hat * c_hat)
+                lo_u = max(0, t - w + 1)
+                hi_u = min(npos, t + w)
+                dlo = lo_u - (t - w + 1)
+                scores[:, lo_u:hi_u] -= c_hat * gram[:, f, dlo : dlo + (hi_u - lo_u)]
+                if snr_thr is not None and e_res <= snr_thr:
+                    done = True
+                    break
+            if not accepted_any:
+                done = True
+    elif scale > 0:
         for _ in range(int(num_coefs)):
             weighted = np.abs(scores) * weights[:, None]
             colmax = weighted.max(axis=0)  # [Npos]
@@ -254,6 +307,7 @@ def hierarchical_encode(
             tolerance_snr=cfg.tolerance_snr,
             singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
             n_raw=cfg.counts[level],
+            num_select=cfg.num_select,
         )
         streams.append(stream)
         if level + 1 < cfg.num_levels:

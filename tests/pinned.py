@@ -26,6 +26,7 @@ def oracle_encode_pinned(x2d, mld, level=0, **overrides):
         tolerance_snr=cfg.tolerance_snr,
         singleton_weight=cfg.singleton_weight if level > 0 else 1.0,
         n_raw=cfg.counts[level],
+        num_select=cfg.num_select,
     )
     kw.update(overrides)
     return mp_encode(x2d, bank, mld.gram(level), scores0=scores0, energy0=e0, **kw)

@@ -130,3 +130,36 @@ def test_feature_map_matches_oracle(mld1, signal1):
     )
     dev_map = np.asarray(feature_map_jax(dev, npos=cfg.num_positions(0), k=bank.shape[0]))
     assert dev_map.tobytes() == ref_map.tobytes()
+
+
+def test_multi_select_matches_oracle(mld1, signal1):
+    """num_select>1 (reference nbBlocks): device and oracle emit identical
+    streams under the segment/interference-guard spec."""
+    from pinned import oracle_encode_pinned
+
+    cfg = mld1.config
+    bank = mld1.augmented(0)
+    for ns in (2, 4):
+        ref = oracle_encode_pinned(signal1[:, None], mld1, 0, num_select=ns)
+        dev = mp_encode_jax(
+            jnp.asarray(signal1)[:, None],
+            jnp.asarray(bank),
+            jnp.asarray(_gram_t(mld1, 0)),
+            num_coefs=cfg.num_coefs[0],
+            num_select=ns,
+        )
+        n = int(dev.count)
+        assert n == ref.positions.shape[0], f"ns={ns}: {n} vs {ref.positions.shape[0]}"
+        np.testing.assert_array_equal(np.asarray(dev.positions[:n]), ref.positions)
+        np.testing.assert_array_equal(np.asarray(dev.atoms[:n]), ref.atoms)
+        np.testing.assert_array_equal(np.asarray(dev.codes[:n]), ref.codes)
+
+
+def test_multi_select_quality_reasonable(mld1, signal1):
+    """Multi-select trades a little greediness; SNR should stay close."""
+    from pinned import oracle_encode_pinned
+
+    base = oracle_encode_pinned(signal1[:, None], mld1, 0, num_select=1)
+    multi = oracle_encode_pinned(signal1[:, None], mld1, 0, num_select=4)
+    assert multi.positions.shape[0] > 0
+    assert multi.snr_db() > base.snr_db() - 3.0
