@@ -1,81 +1,153 @@
-"""Manual parity check on the real TPU chip (run with default JAX_PLATFORMS).
+"""Hardware verification: bit-exactness of the full codec on the real TPU.
 
-Verifies the two cross-backend contracts of SURVEY.md §7 H2 on hardware:
-  1. encode: the TPU greedy loop emits the oracle's exact event stream;
-  2. decode: TPU reconstruction bytes == oracle reconstruction bytes.
+Checks (SURVEY.md §7 H2 contracts):
+  1. Pallas fused-kernel encode == pinned NumPy oracle streams (golden loop)
+  2. XLA-path encode == pinned oracle (incl. num_select sweeps)
+  3. hierarchical (2-level) device pipeline == pinned oracle streams
+  4. corpus pipeline: packed bytes identical to oracle's; TPU decode bytes ==
+     oracle decode bytes
+  5. throughput summary
+
+Run with the default environment (TPU relay); ~10 min cold (remote compiles),
+fast afterward via the persistent compilation cache.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from hsc_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
 from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
+from hsc_tpu.io import pack_corpus
+from hsc_tpu.models import HierarchicalConvolutionalSparseCoder
+from hsc_tpu.ops import mp_encode_jax
+from hsc_tpu.ops.mp_kernels import encode_init, mp_encode_pallas
 from hsc_tpu.oracle import mp_decode, mp_encode
-from hsc_tpu.ops import mp_decode_jax, mp_encode_jax
+from pinned import oracle_encode_pinned, oracle_hierarchical_pinned
 
-print("devices:", jax.devices())
+FAILURES = []
 
-cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
-mld = MultilevelDictionary.generate(cfg, seed=7)
-gen = SignalGenerator(mld, rates=2e-3)
-sig = gen.generate_signals(1, cfg.block_size, seed=3)[0]
-bank = mld.augmented(0)
-gram_t = np.ascontiguousarray(mld.gram(0).transpose(1, 0, 2))
 
-t0 = time.time()
-ref = mp_encode(sig[:, None], bank, mld.gram(0), num_coefs=cfg.num_coefs[0])
-print(f"oracle encode: {time.time()-t0:.3f}s, {ref.positions.shape[0]} events, snr {ref.snr_db():.2f} dB")
+def check(name, ok):
+    print(f"  [{'OK' if ok else 'FAIL'}] {name}", flush=True)
+    if not ok:
+        FAILURES.append(name)
 
-xb = jnp.asarray(sig)[:, None]
-bb = jnp.asarray(bank)
-gb = jnp.asarray(gram_t)
-t0 = time.time()
-dev = mp_encode_jax(xb, bb, gb, num_coefs=cfg.num_coefs[0])
-dev.count.block_until_ready()
-print(f"tpu encode (compile+run): {time.time()-t0:.3f}s")
-t0 = time.time()
-dev = mp_encode_jax(xb, bb, gb, num_coefs=cfg.num_coefs[0])
-dev.count.block_until_ready()
-print(f"tpu encode (run): {time.time()-t0:.3f}s")
 
-n = int(dev.count)
-ok_n = n == ref.positions.shape[0]
-print(f"count match: {ok_n} ({n} vs {ref.positions.shape[0]})")
-m = min(n, ref.positions.shape[0])
-pos_eq = np.array_equal(np.asarray(dev.positions[:m]), ref.positions[:m])
-atm_eq = np.array_equal(np.asarray(dev.atoms[:m]), ref.atoms[:m])
-cod_eq = np.array_equal(np.asarray(dev.codes[:m]), ref.codes[:m])
-print(f"stream match: pos={pos_eq} atom={atm_eq} code={cod_eq} scale={np.float32(dev.scale)==ref.scale}")
-if not (pos_eq and atm_eq and cod_eq):
-    dp = np.nonzero(np.asarray(dev.positions[:m]) != ref.positions[:m])[0]
-    dc = np.nonzero(np.asarray(dev.codes[:m]) != ref.codes[:m])[0]
-    print("first pos mismatch:", dp[:5], "first code mismatch:", dc[:5])
-    i = int(min(list(dp[:1]) + list(dc[:1]) + [m]))
-    print("around idx", i, "ref:", ref.positions[i], ref.atoms[i], ref.codes[i],
-          "dev:", int(dev.positions[i]), int(dev.atoms[i]), int(dev.codes[i]))
-
-# decode parity
-oracle_recon = mp_decode(ref, bank, cfg.block_size)
-pad = cfg.num_coefs[0]
-pos = np.zeros(pad, np.int32); pos[: ref.positions.shape[0]] = ref.positions
-atm = np.zeros(pad, np.int32); atm[: ref.atoms.shape[0]] = ref.atoms
-cds = np.zeros(pad, np.int32); cds[: ref.codes.shape[0]] = ref.codes
-t0 = time.time()
-dev_recon = np.asarray(
-    mp_decode_jax(
-        jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
-        jnp.int32(ref.positions.shape[0]), jnp.float32(ref.scale), bb,
-        n=cfg.block_size,
+def streams_equal(dev, ref, b=None):
+    if b is None:
+        n = int(dev.count)
+        pos, atm, cds, scl = dev.positions, dev.atoms, dev.codes, dev.scale
+    else:
+        n = int(dev.count[b])
+        pos, atm, cds, scl = dev.positions[b], dev.atoms[b], dev.codes[b], dev.scale[b]
+    return (
+        n == ref.positions.shape[0]
+        and np.array_equal(np.asarray(pos[:n]), ref.positions)
+        and np.array_equal(np.asarray(atm[:n]), ref.atoms)
+        and np.array_equal(np.asarray(cds[:n]), ref.codes)
+        and np.float32(scl) == ref.scale
     )
-)
-print(f"tpu decode (compile+run): {time.time()-t0:.3f}s")
-bit_exact = dev_recon.tobytes() == oracle_recon.tobytes()
-print(f"DECODE BIT-EXACT: {bit_exact}")
-if not bit_exact:
-    d = np.abs(dev_recon - oracle_recon)
-    print("mismatched:", int(np.sum(dev_recon != oracle_recon)), "maxdiff:", float(d.max()))
-print("ALL OK" if (ok_n and pos_eq and atm_eq and cod_eq and bit_exact) else "PARITY FAILURE")
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+
+    # ---- 1. flagship single-level, pallas kernel -------------------------
+    cfg = make_test_config(
+        counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,)
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=7)
+    gen = SignalGenerator(mld, rates=2e-3)
+    B = 16
+    xs = gen.generate_signals(B, cfg.block_size, seed=3)
+    bank = jnp.asarray(mld.augmented(0))
+    gram_t = jnp.asarray(np.ascontiguousarray(mld.gram(0).transpose(1, 0, 2)))
+    xb = jnp.asarray(xs)[:, :, None]
+
+    t0 = time.time()
+    pk = jax.device_get(mp_encode_pallas(xb, bank, gram_t, num_coefs=512))
+    dt = time.time() - t0
+    print(f"pallas encode B={B}: {dt:.1f}s (incl. compile)", flush=True)
+    s0, e0 = jax.device_get(encode_init(xb, bank))
+    ok = True
+    for b in range(4):
+        ref = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]),
+        )
+        ok &= streams_equal(pk, ref, b)
+    check("pallas fused kernel == pinned oracle (flagship)", ok)
+
+    # ---- 2. XLA path + num_select ----------------------------------------
+    dev = mp_encode_jax(xb[0], bank, gram_t, num_coefs=512)
+    ref = mp_encode(
+        xs[0][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+        scores0=s0[0], energy0=float(e0[0]),
+    )
+    check("XLA scan path == pinned oracle", streams_equal(jax.device_get(dev), ref))
+
+    dev4 = mp_encode_jax(xb[0], bank, gram_t, num_coefs=512, num_select=4)
+    ref4 = mp_encode(
+        xs[0][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+        scores0=s0[0], energy0=float(e0[0]), num_select=4,
+    )
+    check("num_select=4 sweeps == pinned oracle", streams_equal(jax.device_get(dev4), ref4))
+
+    # ---- 3+4. hierarchical pipeline + corpus bytes + decode ---------------
+    cfg2 = make_test_config(
+        counts=(32, 16), scales=(32, 96), num_coefs=(256, 128), block_size=8192
+    )
+    mld2 = MultilevelDictionary.generate(cfg2, seed=11)
+    gen2 = SignalGenerator(mld2, rates=[np.full(32, 2e-3), np.full(16, 5e-4)])
+    xs2 = gen2.generate_signals(4, cfg2.block_size, seed=5)
+    coder = HierarchicalConvolutionalSparseCoder(mld2)  # pallas on TPU
+    t0 = time.time()
+    batch = coder.encode_batch(xs2)
+    print(f"hierarchical encode: {time.time()-t0:.1f}s (incl. compile)", flush=True)
+    ok = True
+    for b in range(4):
+        refs = oracle_hierarchical_pinned(xs2[b], mld2)
+        for level in range(2):
+            d, r = batch[b][level], refs[level]
+            ok &= (
+                np.array_equal(d.positions, r.positions)
+                and np.array_equal(d.codes, r.codes)
+                and np.float32(d.scale) == r.scale
+            )
+    check("hierarchical device streams == pinned oracle (both levels)", ok)
+
+    blob_dev = pack_corpus(cfg2, [[(1, batch[b][1])] for b in range(4)])
+    blob_ref = pack_corpus(
+        cfg2, [[(1, oracle_hierarchical_pinned(xs2[b], mld2)[1])] for b in range(4)]
+    )
+    check("packed corpus bytes identical", blob_dev == blob_ref)
+
+    recon_dev = np.stack([coder.reconstruct(batch[b][1]) for b in range(4)])
+    reps = mld2.representations(1)[:, :, None]
+    recon_ref = np.stack(
+        [mp_decode(batch[b][1], reps, cfg2.block_size)[:, 0] for b in range(4)]
+    )
+    check("TPU decode bytes == oracle decode bytes", recon_dev.tobytes() == recon_ref.tobytes())
+
+    # batched decode parity with single decode
+    recon_b = coder.reconstruct_batch([batch[b][1] for b in range(4)])
+    check("batched decode == per-block decode", recon_b.tobytes() == recon_dev.tobytes())
+
+    print(f"\n{'ALL CHECKS PASSED' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

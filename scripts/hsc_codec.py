@@ -1,0 +1,106 @@
+"""Command-line codec: encode/decode/inspect HSCT streams.
+
+The compressed stream carries the full codec config (docs/FORMAT.md); the
+dictionary (learned atom waveforms) is codec state and travels as a .npz file
+(`MultilevelDictionary.save`).
+
+  # encode a 1-D float32 signal (.npy), reshaped into config-sized blocks
+  python scripts/hsc_codec.py encode --dict d.npz --input x.npy --output x.hsct
+
+  # decode back to .npy
+  python scripts/hsc_codec.py decode --dict d.npz --input x.hsct --output y.npy
+
+  # stream info + exact rate accounting
+  python scripts/hsc_codec.py info --input x.hsct
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("command", choices=["encode", "decode", "info"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output")
+    p.add_argument("--dict", dest="dict_path")
+    p.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--journal-dir", default=None)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", {"cpu": "cpu", "tpu": "axon,tpu"}[args.platform]
+        )
+
+    from hsc_tpu import MultilevelDictionary
+    from hsc_tpu.analysis import corpus_rates
+    from hsc_tpu.io import unpack_corpus
+    from hsc_tpu.runtime import CorpusEncoder
+
+    if args.command == "info":
+        with open(args.input, "rb") as f:
+            blob = f.read()
+        cfg, blocks = unpack_corpus(blob)
+        rates = corpus_rates(cfg, blocks)
+        print(json.dumps({
+            "config": json.loads(cfg.to_json()),
+            "blocks": len(blocks),
+            "file_bytes": len(blob),
+            **{k: v for k, v in rates.items() if k != "per_level_payload_bits"},
+            "per_level_payload_bits": {
+                str(k): v for k, v in rates["per_level_payload_bits"].items()
+            },
+        }, indent=2))
+        return
+
+    if not args.dict_path:
+        raise SystemExit("--dict is required for encode/decode")
+    mld = MultilevelDictionary.load(args.dict_path)
+    codec = CorpusEncoder(
+        mld,
+        backend=args.backend,
+        batch_size=args.batch_size,
+        journal_dir=args.journal_dir,
+        metrics_path=args.metrics,
+    )
+
+    if args.command == "encode":
+        x = np.load(args.input).astype(np.float32)
+        if x.ndim == 1:  # reshape into blocks, zero-padding the tail
+            bs = mld.config.block_size
+            nb = -(-x.shape[0] // bs)
+            padded = np.zeros(nb * bs, np.float32)
+            padded[: x.shape[0]] = x
+            x = padded.reshape(nb, bs)
+        blob = codec.encode(x)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        ratio = x.size * 4 / len(blob)
+        print(f"{args.output}: {len(blob)} bytes ({ratio:.1f}x vs float32)")
+    else:  # decode
+        with open(args.input, "rb") as f:
+            blob = f.read()
+        out = codec.decode(blob)
+        np.save(args.output, out)
+        print(f"{args.output}: {out.shape} float32")
+
+
+if __name__ == "__main__":
+    main()
