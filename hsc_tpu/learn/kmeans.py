@@ -30,6 +30,7 @@ class KMeansStats(NamedTuple):
     sums: jax.Array  # [K, W*C] signed assignment sums
     counts: jax.Array  # [K] number of windows assigned
     objective: jax.Array  # scalar: sum of |best correlation| (monotone metric)
+    best_abs: jax.Array  # [M] per-window |best score| (drives dead-atom reset)
 
 
 def extract_windows(
@@ -104,7 +105,9 @@ def kmeans_assign_update(windows: jax.Array, centroids: jax.Array) -> KMeansStat
     sums = jnp.dot(onehot.T, windows, preferred_element_type=jnp.float32)
     counts = jnp.sum(jnp.abs(onehot), axis=0)
     objective = jnp.sum(jnp.abs(bestval))
-    return KMeansStats(sums=sums, counts=counts, objective=objective)
+    return KMeansStats(
+        sums=sums, counts=counts, objective=objective, best_abs=jnp.abs(bestval)
+    )
 
 
 def normalize_centroids(
@@ -206,8 +209,25 @@ class ConvolutionalDictionaryLearner:
                 self.objective_history.append(float(obj))
         else:
             wdev = jnp.asarray(flat)
+            wnorms = np.linalg.norm(flat, axis=1)
             for _ in range(self.iterations):
                 stats = kmeans_assign_update(wdev, cents)
                 cents = normalize_centroids(stats.sums, stats.counts, cents)
+                # dead-atom reset (reference C8 "handle dead atoms"):
+                # deterministically reseed dead centroids from the windows the
+                # current dictionary represents WORST (smallest |best score|),
+                # skipping near-silent windows
+                counts = np.asarray(stats.counts)
+                dead = np.nonzero(counts <= 0)[0]
+                if dead.size:
+                    best_abs = np.asarray(stats.best_abs)
+                    order = np.argsort(best_abs, kind="stable")
+                    order = order[wnorms[order] > 1e-6][: dead.size]
+                    if order.size:
+                        cents_np = np.asarray(cents)
+                        for di, wi in zip(dead, order):
+                            v = flat[wi]
+                            cents_np[di] = v / max(np.linalg.norm(v), 1e-8)
+                        cents = jnp.asarray(cents_np)
                 self.objective_history.append(float(stats.objective))
         return np.asarray(cents).reshape(self.k, self.window, self.channels)

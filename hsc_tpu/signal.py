@@ -96,3 +96,42 @@ class SignalGenerator:
             ev = self.generate_events(nb_samples, seed=seed * 100003 + b)
             out[b] = self.generate_signal_from_events(ev, nb_samples)
         return out
+
+
+def load_wav_blocks(
+    path: str, block_size: int, *, normalize_peak: bool = True
+) -> np.ndarray:
+    """Load a WAV file as float32 codec blocks ``[B, block_size]``.
+
+    The reference's real corpora are audio (SURVEY.md provenance: Brodeur &
+    Rouat's hierarchical sparse coding of audio).  Multichannel audio is
+    averaged to mono; the tail is zero-padded to a whole block; peak
+    normalization keeps quantizer scales comparable across files.
+    """
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(path)
+    x = np.asarray(data, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if np.issubdtype(np.asarray(data).dtype, np.integer):
+        x = x / float(np.iinfo(np.asarray(data).dtype).max)
+    if normalize_peak:
+        peak = float(np.max(np.abs(x)))
+        if peak > 0:
+            x = x / peak
+    nb = -(-x.shape[0] // block_size)
+    out = np.zeros(nb * block_size, dtype=np.float32)
+    out[: x.shape[0]] = x
+    return out.reshape(nb, block_size)
+
+
+def save_wav(path: str, signal: np.ndarray, rate: int = 16000) -> None:
+    """Write a float32 signal (blocks are concatenated) as 16-bit WAV."""
+    from scipy.io import wavfile
+
+    x = np.asarray(signal, dtype=np.float32).reshape(-1)
+    peak = float(np.max(np.abs(x)))
+    if peak > 1.0:
+        x = x / peak
+    wavfile.write(path, rate, (x * 32767.0).astype(np.int16))

@@ -110,3 +110,39 @@ def test_multilevel_trainer_and_resume(tmp_path, mld2):
     learned2 = trainer2.train(xs)
     for a, b in zip(learned.dicts, learned2.dicts):
         np.testing.assert_array_equal(a, b)
+
+
+def test_dead_atom_reset():
+    """A centroid orthogonal to all data must get reseeded from data windows."""
+    import jax.numpy as jnp
+    from hsc_tpu.learn.kmeans import kmeans_assign_update
+
+    rng = np.random.default_rng(0)
+    # data lives in the first 4 dims; centroid 3 only in the last dims
+    flat = np.zeros((64, 8), np.float32)
+    flat[:, :4] = rng.standard_normal((64, 4)).astype(np.float32)
+    xs = flat.reshape(64, 8, 1)  # windows == blocks here
+    learner = ConvolutionalDictionaryLearner(
+        4, 8, 1, algorithm="kmean", num_windows=64, iterations=5,
+        extraction="random", seed=0,
+    )
+    learned = learner.train(xs[:, :, 0].reshape(8, 64)[:, :, None].transpose(0, 1, 2))
+    assert learned.shape == (4, 8, 1)
+    norms = np.linalg.norm(learned.reshape(4, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_wav_roundtrip(tmp_path, mld1):
+    from hsc_tpu.signal import load_wav_blocks, save_wav
+    from hsc_tpu import SignalGenerator
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    x = gen.generate_signals(1, 3000, seed=9)[0]
+    p = str(tmp_path / "t.wav")
+    save_wav(p, x, rate=8000)
+    blocks = load_wav_blocks(p, 1024)
+    assert blocks.shape == (3, 1024)
+    # 16-bit round trip preserves the waveform closely (after peak norm)
+    xn = x / max(abs(x.max()), abs(x.min()))
+    flat = blocks.reshape(-1)[:3000]
+    assert np.corrcoef(xn, flat)[0, 1] > 0.999
