@@ -42,11 +42,19 @@ class RateReport:
 
 
 def stream_rate(cfg: CodecConfig, level: int, stream: LevelStream) -> RateReport:
-    """Exact rate accounting for one level stream of one block."""
+    """Exact rate accounting for one level stream of one block (for 'rice'
+    entropy the stream is serialized to measure its true variable length)."""
     n = int(stream.positions.shape[0])
     eb = cfg.event_bits(level)
-    payload_bits = n * eb
-    total = stream_num_bytes(cfg, level, n)
+    if cfg.entropy == "rice":
+        from ..io.bitstream import pack_stream
+
+        total = len(pack_stream(cfg, level, stream))
+        payload_bits = (total - 10) * 8  # header: level u8, n u32, scale f32, k u8
+        eb = payload_bits / max(n, 1)
+    else:
+        payload_bits = n * eb
+        total = stream_num_bytes(cfg, level, n)
     if stream.energy0 > 0 and stream.energy_res > 0:
         snr = 10.0 * math.log10(stream.energy0 / stream.energy_res)
     elif stream.energy0 > 0:

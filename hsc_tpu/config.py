@@ -45,6 +45,9 @@ class CodecConfig:
       num_select: selections per greedy sweep (reference kwarg `nbBlocks`):
         1 = plain greedy; >1 = one candidate per contiguous position segment,
         accepted left-to-right under a 2W-1 interference guard.
+      entropy: position coding in the stream — 'fixed' (pos_bits per event) or
+        'rice' (position-sorted events, Rice/Golomb-coded deltas; typically
+        30-50%% smaller streams).  Decode order is stream order either way.
     """
 
     counts: tuple[int, ...] = (64,)
@@ -55,6 +58,7 @@ class CodecConfig:
     singleton_weight: float = 0.9
     amp_bits: int = 16
     num_select: int = 1
+    entropy: str = "fixed"
 
     def __post_init__(self):
         object.__setattr__(self, "counts", tuple(int(c) for c in self.counts))
@@ -70,6 +74,8 @@ class CodecConfig:
             raise ValueError("amp_bits must be in [2, 16]")
         if self.num_select < 1:
             raise ValueError("num_select must be >= 1")
+        if self.entropy not in ("fixed", "rice"):
+            raise ValueError("entropy must be 'fixed' or 'rice'")
 
     # ---- derived geometry -------------------------------------------------
 

@@ -8,12 +8,19 @@ decode, so this module defines it:
   corpus  := magic "HSCT" | u8 version=1 | u32 cfg_len | cfg JSON | u32 n_blocks
              | block*
   block   := u8 n_streams | stream*
-  stream  := u8 level | u32 n_events | f32 scale | payload (byte aligned)
-  payload := per event, MSB-first: position (pos_bits(level)) |
-             atom (atom_bits(level)) | code+maxcode (amp_bits, unsigned offset)
+  stream  := u8 level | u32 n_events | f32 scale | [u8 rice_k] | payload
+  payload (entropy='fixed'): per event, MSB-first:
+             position (pos_bits(level)) | atom (atom_bits(level)) |
+             code+maxcode (amp_bits, unsigned offset)
+  payload (entropy='rice'): events sorted by position (stable); per event:
+             position-delta Rice-coded with parameter rice_k (quotient in
+             unary — q ones then a zero — then k remainder bits; quotients
+             >= 24 escape to 24 ones + a raw pos_bits value) | atom | amp
+             fields as in 'fixed'
 
-Events appear in greedy selection order; the decoder sums contributions in
-stream order (the bit-exactness surface — see `hsc_tpu.oracle.mp.mp_decode`).
+The decoder sums contributions in stream order (the bit-exactness surface —
+see `hsc_tpu.oracle.mp.mp_decode`): selection order for 'fixed', position-
+sorted order for 'rice' — both fully determined by the stream bytes.
 Field widths are fully determined by the config in the header, so decode needs
 no out-of-band information.  Packing is vectorized NumPy on the host
 (SURVEY.md §7 H4 — variable-length streams do not fit XLA's static shapes; a
@@ -81,13 +88,119 @@ def _unpack_bits(data: bytes, n: int, widths: list[int]) -> np.ndarray:
     return out
 
 
+_RICE_ESCAPE = 24  # unary quotients cap; above this, raw pos_bits follow
+
+
 def stream_num_bytes(cfg: CodecConfig, level: int, n_events: int) -> int:
-    """Exact serialized size of one stream (header + padded payload)."""
+    """Exact serialized size of one 'fixed' stream (header + padded payload).
+    ('rice' streams are variable-length: measure with len(pack_stream).)"""
     payload_bits = n_events * cfg.event_bits(level)
     return 1 + 4 + 4 + (payload_bits + 7) // 8
 
 
+def _rice_k(cfg: CodecConfig, level: int, n_events: int) -> int:
+    """Deterministic Rice parameter: ~log2 of the mean position delta."""
+    npos = max(cfg.num_positions(level), 1)
+    mean = max(npos // max(n_events, 1), 1)
+    k = int(mean).bit_length() - 1
+    return max(0, min(k, cfg.pos_bits(level)))
+
+
+def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
+    """Position-sorted, delta-Rice payload (entropy='rice')."""
+    n = int(stream.positions.shape[0])
+    k = _rice_k(cfg, level, n)
+    order = np.argsort(stream.positions, kind="stable")
+    pos = stream.positions[order].astype(np.int64)
+    atm = stream.atoms[order].astype(np.uint64)
+    amp = (stream.codes[order].astype(np.int64) + cfg.amp_maxcode).astype(np.uint64)
+    deltas = np.diff(pos, prepend=0)
+    ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
+
+    chunks: list[np.ndarray] = []
+
+    def put(value: int, width: int) -> None:
+        if width:
+            bits = (int(value) >> np.arange(width - 1, -1, -1)) & 1
+            chunks.append(bits.astype(np.uint8))
+
+    ones = np.ones(_RICE_ESCAPE, dtype=np.uint8)
+    for i in range(n):
+        d = int(deltas[i])
+        q = d >> k
+        if q >= _RICE_ESCAPE:
+            chunks.append(ones)
+            put(int(pos[i]), pb)  # escape: raw absolute position
+        else:
+            if q:
+                chunks.append(ones[:q])
+            chunks.append(np.zeros(1, dtype=np.uint8))
+            put(d & ((1 << k) - 1) if k else 0, k)
+        put(int(atm[i]), ab)
+        put(int(amp[i]), cb)
+    if not chunks:
+        payload = b""
+    else:
+        payload = np.packbits(np.concatenate(chunks)).tobytes()
+    head = struct.pack("<BIfB", level, n, float(stream.scale), k)
+    return head + payload
+
+
+class _BitReader:
+    def __init__(self, data: bytes, off: int):
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8, offset=off))
+        self._i = 0
+
+    def take(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | int(self._bits[self._i])
+            self._i += 1
+        return v
+
+    def unary(self, cap: int) -> int:
+        q = 0
+        while q < cap and self._bits[self._i] == 1:
+            q += 1
+            self._i += 1
+        if q < cap:
+            self._i += 1  # consume the terminating zero
+        return q
+
+    def consumed_bytes(self) -> int:
+        return (self._i + 7) // 8
+
+
+def _unpack_rice(
+    cfg: CodecConfig, data: bytes, off: int
+) -> tuple[int, LevelStream, int]:
+    level, n, scale, k = struct.unpack_from("<BIfB", data, off)
+    off += struct.calcsize("<BIfB")
+    ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
+    rd = _BitReader(data, off)
+    positions = np.zeros(n, np.int32)
+    atoms = np.zeros(n, np.int32)
+    codes = np.zeros(n, np.int32)
+    prev = 0
+    for i in range(n):
+        q = rd.unary(_RICE_ESCAPE)
+        if q >= _RICE_ESCAPE:
+            prev = rd.take(pb)
+        else:
+            prev = prev + ((q << k) | (rd.take(k) if k else 0))
+        positions[i] = prev
+        atoms[i] = rd.take(ab)
+        codes[i] = rd.take(cb) - cfg.amp_maxcode
+    off += rd.consumed_bytes()
+    return level, LevelStream(
+        positions=positions, atoms=atoms, codes=codes,
+        scale=np.float32(scale), energy0=0.0, energy_res=0.0,
+    ), off
+
+
 def pack_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
+    if cfg.entropy == "rice":
+        return _pack_rice(cfg, level, stream)
     n = int(stream.positions.shape[0])
     maxcode = cfg.amp_maxcode
     widths = [cfg.pos_bits(level), cfg.atom_bits(level), cfg.amp_bits]
@@ -101,6 +214,8 @@ def pack_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
 
 def unpack_stream(cfg: CodecConfig, data: bytes, off: int) -> tuple[int, LevelStream, int]:
     """Returns (level, stream, new_offset)."""
+    if cfg.entropy == "rice":
+        return _unpack_rice(cfg, data, off)
     level, n, scale = struct.unpack_from("<BIf", data, off)
     off += struct.calcsize("<BIf")
     widths = [cfg.pos_bits(level), cfg.atom_bits(level), cfg.amp_bits]

@@ -82,3 +82,96 @@ def test_negative_codes_roundtrip(mld1):
     blob = pack_corpus(cfg, [[(0, stream)]])
     _, blocks = unpack_corpus(blob)
     np.testing.assert_array_equal(blocks[0][0][1].codes, stream.codes)
+
+
+def _rice_cfg(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, entropy="rice")
+
+
+def test_rice_roundtrip_sorted(mld1, signal1):
+    """Rice streams round-trip exactly, with events in position order."""
+    import dataclasses
+
+    cfg = _rice_cfg(mld1.config)
+    stream = _encode_block(signal1, mld1)[0]
+    data = pack_stream(cfg, 0, stream)
+    from hsc_tpu.io.bitstream import unpack_stream
+
+    level, out, off = unpack_stream(cfg, data, 0)
+    assert off == len(data)
+    order = np.argsort(stream.positions, kind="stable")
+    np.testing.assert_array_equal(out.positions, stream.positions[order])
+    np.testing.assert_array_equal(out.atoms, stream.atoms[order])
+    np.testing.assert_array_equal(out.codes, stream.codes[order])
+    assert out.scale == stream.scale
+    # positions come out sorted
+    assert np.all(np.diff(out.positions) >= 0)
+
+
+def test_rice_smaller_than_fixed(mld1, signal1):
+    cfg = mld1.config
+    stream = _encode_block(signal1, mld1)[0]
+    fixed = pack_stream(cfg, 0, stream)
+    rice = pack_stream(_rice_cfg(cfg), 0, stream)
+    assert len(rice) < len(fixed), (len(rice), len(fixed))
+
+
+def test_rice_extreme_deltas(mld1):
+    """Escape path: events clustered then a huge gap."""
+    cfg = _rice_cfg(mld1.config)
+    stream = LevelStream(
+        positions=np.array([0, 1, 2, 1000, 1001], dtype=np.int32),
+        atoms=np.array([3, 1, 0, 15, 2], dtype=np.int32),
+        codes=np.array([100, -5, 32767, -32767, 1], dtype=np.int32),
+        scale=np.float32(0.5),
+        energy0=1.0,
+        energy_res=0.1,
+    )
+    data = pack_stream(cfg, 0, stream)
+    from hsc_tpu.io.bitstream import unpack_stream
+
+    _, out, off = unpack_stream(cfg, data, 0)
+    assert off == len(data)
+    np.testing.assert_array_equal(out.positions, stream.positions)
+    np.testing.assert_array_equal(out.codes, stream.codes)
+
+
+def test_rice_corpus_decode_bit_exact(mld1, signal1):
+    """Full corpus round trip under rice entropy: decode of the unpacked
+    (sorted) stream is deterministic and identical across backends."""
+    import dataclasses
+    import jax.numpy as jnp
+    from hsc_tpu.ops import mp_decode_jax
+
+    cfg = _rice_cfg(mld1.config)
+    stream = _encode_block(signal1, mld1)[0]
+    blob = pack_corpus(cfg, [[(0, stream)]])
+    cfg2, blocks = unpack_corpus(blob)
+    assert cfg2 == cfg
+    (level, out), = blocks[0]
+    a = mp_decode(out, mld1.augmented(0), cfg.block_size)
+    n = out.positions.shape[0]
+    pad = max(n, 1)
+    pos = np.zeros(pad, np.int32); pos[:n] = out.positions
+    atm = np.zeros(pad, np.int32); atm[:n] = out.atoms
+    cds = np.zeros(pad, np.int32); cds[:n] = out.codes
+    b = np.asarray(mp_decode_jax(
+        jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+        jnp.int32(n), jnp.float32(out.scale), jnp.asarray(mld1.augmented(0)),
+        n=cfg.block_size,
+    ))
+    assert a.tobytes() == b.tobytes()
+
+
+def test_rice_empty_stream(mld1):
+    cfg = _rice_cfg(mld1.config)
+    stream = LevelStream(
+        positions=np.zeros(0, np.int32), atoms=np.zeros(0, np.int32),
+        codes=np.zeros(0, np.int32), scale=np.float32(0),
+        energy0=0.0, energy_res=0.0,
+    )
+    blob = pack_corpus(cfg, [[(0, stream)]])
+    _, blocks = unpack_corpus(blob)
+    assert blocks[0][0][1].positions.shape[0] == 0
