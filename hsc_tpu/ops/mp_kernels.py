@@ -46,7 +46,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mp_kernel(
-    # inputs (full arrays; grid programs index their own row via program_id)
+    # inputs (full arrays; grid programs index their own rows via program_id)
     e0_ref,  # [B, 1] f32 SMEM
     sc_ref,  # [B, 1] f32 SMEM — per-block quantizer step (XLA-computed)
     inv_ref,  # [B, 1] f32 SMEM — per-block inverse step (XLA-computed)
@@ -61,10 +61,10 @@ def _mp_kernel(
     scale_ref,  # [B, 1] f32 SMEM
     eres_ref,  # [B, 1] f32 SMEM
     # scratch
-    scores,  # [K, P2] f32 VMEM
-    colmax,  # [8, L8 + CW] f32 VMEM — position-folded selection cache
-    prod,  # [K, CW] f32 VMEM (FMA-contraction firewall, see below)
-    sem,  # DMA semaphore
+    scores,  # [G, K, P2] f32 VMEM
+    colmax,  # [G, fold, L8 + CW] f32 VMEM — position-folded selection caches
+    prod,  # [G, K, CW] f32 VMEM (FMA-contraction firewall, see below)
+    sems,  # DMA semaphores (G,)
     *,
     k: int,
     w: int,
@@ -74,7 +74,16 @@ def _mp_kernel(
     maxcode: float,
     snr_factor: float | None,
     fold: int,
+    group: int,
 ):
+    """One program encodes `group` blocks with their greedy loops interleaved.
+
+    The single-block loop is latency-bound: each iteration is a serial
+    scalar<->vector dependency chain (argmax -> index -> column -> quantize ->
+    windowed update -> cache refresh).  Interleaving G independent blocks in
+    one while loop gives the scheduler G disjoint chains to overlap, hiding
+    most of that latency at the cost of G copies of the VMEM state.
+    """
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)  # aligned chunk width covering any window
     # colmax is folded position-major into `fold` sublane rows so selection
@@ -85,48 +94,55 @@ def _mp_kernel(
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
     p2 = _LPAD + npos_pad8 + cw
-    b_idx = pl.program_id(0)
+    base = pl.program_id(0) * group
 
-    # ---- load scores into the padded VMEM scratch -------------------------
-    scores[:, :] = jnp.zeros((k, p2), jnp.float32)
-    cp = pltpu.make_async_copy(
-        scores_hbm.at[b_idx], scores.at[:, pl.ds(_LPAD, npos_pad)], sem
-    )
-    cp.start()
-    cp.wait()
-
+    # ---- load all group members' scores into padded VMEM scratch ----------
+    copies = []
+    for g in range(group):
+        scores[g, :, :] = jnp.zeros((k, p2), jnp.float32)
+        cp = pltpu.make_async_copy(
+            scores_hbm.at[base + g],
+            scores.at[g, :, pl.ds(_LPAD, npos_pad)],
+            sems.at[g],
+        )
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
 
     # Quantizer steps are computed by XLA in the init stage (exact IEEE
     # divisions); the kernel never divides — some backends lower in-loop
     # fdiv to an approximate reciprocal (SURVEY.md H2).
-    scale = sc_ref[b_idx, 0]
-    inv_scale = inv_ref[b_idx, 0]
-    scale_ref[b_idx, 0] = scale
+    scales = []
+    inv_scales = []
+    snr_thrs = []
+    for g in range(group):
+        scale = sc_ref[base + g, 0]
+        scales.append(scale)
+        inv_scales.append(inv_ref[base + g, 0])
+        scale_ref[base + g, 0] = scale
+        e0 = e0_ref[base + g, 0]
+        snr_thrs.append(
+            e0 * jnp.float32(snr_factor)
+            if snr_factor is not None
+            else jnp.float32(-1)
+        )
 
-    # Folded colmax init: one static row per 8th of the position axis.  Pad
+    # Folded colmax init: one static row per fold of the position axis.  Pad
     # lanes — alignment tail and RMW slack, which Gram updates can spill real
     # values into — are parked at -1; real colmax is >= 0 and selection takes
     # the lowest position on ties, so pads can never win.
-    colmax[:, :] = jnp.full((fold, l8 + cw), -1.0, jnp.float32)
     row_cols = jax.lax.broadcasted_iota(jnp.int32, (1, l8), 1)
-    fold_rows = []
-    for r in range(fold):
-        seg = scores[:, _LPAD + r * l8 : _LPAD + (r + 1) * l8]  # [K, L8]
-        cm_r = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
-        fold_rows.append(
-            jnp.where(row_cols + r * l8 < npos, cm_r, jnp.float32(-1))
-        )
-    colmax[:, :l8] = jnp.concatenate(fold_rows, axis=0)
-
-    e0 = e0_ref[b_idx, 0]
-    snr_thr = (
-        e0 * jnp.float32(snr_factor) if snr_factor is not None else jnp.float32(-1)
-    )
-
-
-    def cond(state):
-        i, done, e_res, count = state
-        return jnp.logical_and(i < num_coefs, jnp.logical_not(done))
+    for g in range(group):
+        colmax[g, :, :] = jnp.full((fold, l8 + cw), -1.0, jnp.float32)
+        fold_rows = []
+        for r in range(fold):
+            seg = scores[g, :, _LPAD + r * l8 : _LPAD + (r + 1) * l8]  # [K, L8]
+            cm_r = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
+            fold_rows.append(
+                jnp.where(row_cols + r * l8 < npos, cm_r, jnp.float32(-1))
+            )
+        colmax[g, :, :l8] = jnp.concatenate(fold_rows, axis=0)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
     fold_rows_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 0)
@@ -135,23 +151,26 @@ def _mp_kernel(
     big_pos = jnp.int32(npos_pad8 + 1)
     rmw_rows = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 0)
     rmw_lanes = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 1)
+    atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
-    def body(state):
-        i, done, e_res, count = state
-        # full-VPU-width two-pass selection over the folded cache: global max,
-        # then the LOWEST position holding it (spec tie-break)
-        cm_fold = colmax[:, :l8]
+    def cond(state):
+        i, dones, e_ress, counts = state
+        alive = jnp.logical_not(dones[0])
+        for g in range(1, group):
+            alive = jnp.logical_or(alive, jnp.logical_not(dones[g]))
+        return jnp.logical_and(i < num_coefs, alive)
+
+    def step_one(g, done, e_res, count):
+        """One greedy iteration for group member g (mutates its VMEM state)."""
+        cm_fold = colmax[g, :, :l8]
         m = jnp.max(cm_fold)
         t = jnp.min(
             jnp.where(cm_fold == m, fold_pos_ids, big_pos)
         ).astype(jnp.int32)
-        # window of positions [t-(W-1), t+(W-1)] = padded cols [cs, cs+lag);
-        # load the 128-aligned chunk guaranteed to contain it
         cs = t + _LPAD - (w - 1)
         a = pl.multiple_of((cs // 128) * 128, 128)
-        o = cs - a  # in-chunk offset of the window, in [0, 128)
-        chunk = scores[:, pl.ds(a, cw)]  # [K, CW]
-        # center column (position t) at lane o + (W-1), via one-hot lane mask
+        o = cs - a
+        chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
         col = jnp.sum(
             jnp.where(lane_ids == o + (w - 1), chunk, jnp.float32(0)),
             axis=1,
@@ -159,21 +178,20 @@ def _mp_kernel(
         )  # [K, 1]
         wcol = jnp.abs(col) * w_ref[:, :1]
         f = jnp.argmax(wcol[:, 0][None, :], axis=1)[0].astype(jnp.int32)
-        atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         s = jnp.sum(jnp.where(atom_ids == f, col, jnp.float32(0)))
         # quantizer spec: round half away from zero (see oracle.mp.mp_encode)
-        y = s * inv_scale
+        y = s * inv_scales[g]
         r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
         code_f = jnp.clip(r, -jnp.float32(maxcode), jnp.float32(maxcode))
         code = code_f.astype(jnp.int32)
-        emit = code != 0
-        c_hat = jnp.where(emit, code_f * scale, jnp.float32(0))
+        emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+        c_hat = jnp.where(emit, code_f * scales[g], jnp.float32(0))
 
         @pl.when(emit)
         def _():
-            pos_ref[b_idx, count] = t
-            atom_ref[b_idx, count] = f
-            code_ref[b_idx, count] = code
+            pos_ref[base + g, count] = t
+            atom_ref[base + g, count] = f
+            code_ref[base + g, count] = code
 
         new_count = count + emit.astype(jnp.int32)
 
@@ -193,9 +211,9 @@ def _mp_kernel(
         # allowed, which would contract mul+sub into one rounding — so the
         # product makes a real VMEM store/load round-trip, which the compiler
         # must honor as a rounding point.
-        prod[:, :] = c_hat * u
-        chunk_new = chunk - prod[:, :]
-        scores[:, pl.ds(a, cw)] = chunk_new
+        prod[g, :, :] = c_hat * u
+        chunk_new = chunk - prod[g, :, :]
+        scores[g, :, pl.ds(a, cw)] = chunk_new
         # exact colmax refresh over the chunk; positions outside [0, npos)
         # stay parked at -1
         gpos = lane_ids + (a - _LPAD)
@@ -213,26 +231,42 @@ def _mp_kernel(
         r0 = jnp.floor_divide(p0, l8)
         c0 = pl.multiple_of(p0 - r0 * l8, 128)
         cm8 = jnp.broadcast_to(cm, (fold, cw))
-        sub_a = colmax[:, pl.ds(c0, cw)]
-        colmax[:, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
+        sub_a = colmax[g, :, pl.ds(c0, cw)]
+        colmax[g, :, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
         shift_b = jnp.mod(c0 - l8, cw)
         cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, cw))
         d_b = c0 + cw - l8  # overlap width into the next row (<= 0: none)
-        sub_b = colmax[:, :cw]
-        colmax[:, :cw] = jnp.where(
+        sub_b = colmax[g, :, :cw]
+        colmax[g, :, :cw] = jnp.where(
             jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
         )
 
         new_done = jnp.logical_or(
             jnp.logical_not(emit),
-            jnp.logical_and(emit, new_e <= snr_thr),
+            jnp.logical_and(emit, new_e <= snr_thrs[g]),
         )
-        return (i + 1, new_done, new_e, new_count)
+        return new_done, new_e, new_count
 
-    init = (jnp.int32(0), scale <= 0, e0, jnp.int32(0))
-    _, _, e_res, count = jax.lax.while_loop(cond, body, init)
-    cnt_ref[b_idx, 0] = count
-    eres_ref[b_idx, 0] = jnp.maximum(e_res, jnp.float32(0))
+    def body(state):
+        i, dones, e_ress, counts = state
+        new_dones, new_es, new_counts = [], [], []
+        for g in range(group):
+            nd, ne, nc = step_one(g, dones[g], e_ress[g], counts[g])
+            new_dones.append(nd)
+            new_es.append(ne)
+            new_counts.append(nc)
+        return (i + 1, tuple(new_dones), tuple(new_es), tuple(new_counts))
+
+    init = (
+        jnp.int32(0),
+        tuple(scales[g] <= 0 for g in range(group)),
+        tuple(e0_ref[base + g, 0] for g in range(group)),
+        tuple(jnp.int32(0) for _ in range(group)),
+    )
+    _, dones, e_ress, counts = jax.lax.while_loop(cond, body, init)
+    for g in range(group):
+        cnt_ref[base + g, 0] = counts[g]
+        eres_ref[base + g, 0] = jnp.maximum(e_ress[g], jnp.float32(0))
 
 
 @jax.jit
@@ -312,6 +346,16 @@ def _mp_pallas_stage(
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
     p2 = _LPAD + npos_pad8 + cw
+    # blocks interleaved per program: as many as fit a ~12 MB VMEM budget
+    # (the greedy loop is latency-bound; G independent chains overlap)
+    per_block = (k * p2 + fold * (l8 + cw) + k * cw) * 4
+    group = 1
+    while (
+        group < 4
+        and b % (group * 2) == 0
+        and (group * 2) * per_block < 12 * 1024 * 1024
+    ):
+        group *= 2
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
@@ -327,11 +371,11 @@ def _mp_pallas_stage(
     kernel = functools.partial(
         _mp_kernel,
         k=k, w=w, npos=npos, npos_pad=npos_pad, num_coefs=num_coefs,
-        maxcode=maxcode, snr_factor=snr_factor, fold=fold,
+        maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e0 [B, 1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
@@ -349,10 +393,10 @@ def _mp_pallas_stage(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e_res [B, 1]
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, p2), jnp.float32),
-            pltpu.VMEM((fold, l8 + cw), jnp.float32),
-            pltpu.VMEM((k, cw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((group, k, p2), jnp.float32),
+            pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
+            pltpu.VMEM((group, k, cw), jnp.float32),
+            pltpu.SemaphoreType.DMA((group,)),
         ],
     )
     out_shape = [
