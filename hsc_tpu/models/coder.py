@@ -323,11 +323,16 @@ class HierarchicalConvolutionalSparseCoder:
             p, a, c, n = _pad_stream(s, cap)
             pos[b], atm[b], cds[b], cnt[b] = p, a, c, n
             scl[b] = np.float32(s.scale)
-        out = mp_decode_batch_jax(
+        args = (
             jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
             jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],
-            n=cfg.block_size,
         )
+        if jax.default_backend() in ("tpu", "axon"):
+            from ..ops.decode_kernel import mp_decode_pallas
+
+            out = mp_decode_pallas(*args, n=cfg.block_size)
+        else:
+            out = mp_decode_batch_jax(*args, n=cfg.block_size)
         return np.asarray(out)[:, :, 0]
 
     # -- corpus pipeline (config 2/3 of BASELINE.json) ----------------------

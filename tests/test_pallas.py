@@ -68,3 +68,34 @@ def test_coder_backend_pallas_interpret(mld1, signal1):
     np.testing.assert_array_equal(sa.positions, sb.positions)
     np.testing.assert_array_equal(sa.codes, sb.codes)
     assert sa.scale == sb.scale
+
+
+def test_pallas_decode_matches_jax(mld1):
+    """Fused decode kernel == XLA scan decode, byte for byte (interpret)."""
+    from hsc_tpu.ops.decode import mp_decode_batch_jax
+    from hsc_tpu.ops.decode_kernel import mp_decode_pallas
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(3, mld1.config.block_size, seed=95)
+    coder = ConvolutionalSparseCoder(mld1, backend="jax")
+    streams = coder.encode_batch(xs)
+    cap = mld1.config.num_coefs[0]
+    B = 3
+    pos = np.zeros((B, cap), np.int32); atm = np.zeros((B, cap), np.int32)
+    cds = np.zeros((B, cap), np.int32); cnt = np.zeros((B,), np.int32)
+    scl = np.zeros((B,), np.float32)
+    for b, s in enumerate(streams):
+        n = s.positions.shape[0]
+        pos[b, :n] = s.positions; atm[b, :n] = s.atoms; cds[b, :n] = s.codes
+        cnt[b] = n; scl[b] = s.scale
+    bank = jnp.asarray(mld1.augmented(0))
+    args = tuple(jnp.asarray(v) for v in (pos, atm, cds, cnt, scl))
+    ref = np.asarray(mp_decode_batch_jax(*args, bank, n=mld1.config.block_size))
+    out = np.asarray(
+        mp_decode_pallas(*args, bank, n=mld1.config.block_size, interpret=True)
+    )
+    # Interpret-mode refs are transparent to XLA, so the mul+add contracts to
+    # an FMA (single rounding) and low bits can differ; the COMPILED kernel's
+    # VMEM round-trip is a real rounding point and byte-exactness on hardware
+    # is asserted by scripts/check_tpu_parity.py.
+    np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
