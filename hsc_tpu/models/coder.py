@@ -26,7 +26,14 @@ from ..config import CodecConfig
 from ..dictionary import MultilevelDictionary
 from ..io import pack_corpus, unpack_corpus
 from ..ops.decode import mp_decode_batch_jax, mp_decode_jax
-from ..ops.encode import EncodedBlock, feature_map_jax, mp_encode_jax
+from ..ops.encode import (
+    EncodedBlock,
+    encode_init_batched,
+    feature_map_jax,
+    mp_encode_from_init,
+    mp_encode_jax,
+    quantizer_steps,
+)
 from ..oracle.mp import LevelStream
 
 
@@ -102,12 +109,13 @@ class ConvolutionalMatchingPursuit:
             n_raw=n_raw if n_raw is not None else int(bank.shape[0]),
             num_select=int(num_select),
         )
-        self._batched = jax.jit(
+        # batched = shared standalone init executable + vmapped loop (the
+        # init must NOT fuse into the loop jit — SURVEY.md H2)
+        self._batched_loop = jax.jit(
             jax.vmap(
-                functools.partial(mp_encode_jax, **self.settings),
-                in_axes=(0, None, None),
-            ),
-            static_argnames=(),
+                functools.partial(mp_encode_from_init, **self.settings),
+                in_axes=(0, 0, 0, 0, None, None),
+            )
         )
 
     def compute_coefficients(self, x) -> EncodedBlock:
@@ -136,7 +144,11 @@ class ConvolutionalMatchingPursuit:
                 interpret=self.backend == "pallas_interpret",
                 **settings,
             )
-        return self._batched(xs, self.bank, self.gram_t)
+        scores0, e0, peak = encode_init_batched(xs, self.bank)
+        scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
+        return self._batched_loop(
+            scores0, e0, jnp.asarray(scale), jnp.asarray(inv), self.bank, self.gram_t
+        )
 
 
 class ConvolutionalSparseCoder:

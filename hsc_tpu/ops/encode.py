@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .correlate import correlate_bank_jax
 
@@ -45,17 +46,53 @@ class EncodedBlock(NamedTuple):
     energy_res: jax.Array  # float32 scalar
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_coefs",
-        "amp_bits",
-        "tolerance_snr",
-        "singleton_weight",
-        "n_raw",
-        "num_select",
-    ),
-)
+@jax.jit
+def encode_init_jax(
+    x: jax.Array, bank: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-block init correlation + energy + peak, as its OWN jitted
+    executable.
+
+    Kept separate from the greedy-loop jit on purpose: the init conv is the
+    one fp-order-dependent computation (SURVEY.md H2) and fusing it into a
+    larger program can change its reduction by ulps; compiling it standalone
+    pins it, and the golden-loop tests inject exactly this function's output
+    into the oracle.  Returns (scores0 [K, npos], e0 scalar, peak scalar).
+    """
+    scores0 = correlate_bank_jax(x, bank)
+    e0 = jnp.sum(jnp.square(x.astype(jnp.float32)))
+    return scores0, e0, jnp.max(jnp.abs(scores0))
+
+
+@jax.jit
+def encode_init_batched(
+    xs: jax.Array, bank: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched form of `encode_init_jax`: ``xs [B, N, C]`` ->
+    (scores0 [B, K, npos], e0 [B], peak [B]).  The canonical init executable
+    shared by the batched XLA path and the Pallas wrapper."""
+    scores0 = jax.vmap(correlate_bank_jax, in_axes=(0, None))(xs, bank)
+    e0 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(1, 2))
+    return scores0, e0, jnp.max(jnp.abs(scores0), axis=(1, 2))
+
+
+def quantizer_steps(peak, amp_bits: int):
+    """Spec quantizer steps from the init peak, computed on the HOST.
+
+    The two divisions are spec-visible (`scale` is written into the stream;
+    `inv_scale` drives every code), and jitted backend division is NOT
+    reliably exactly rounded (XLA CPU uses a fast reciprocal path, Mosaic an
+    approximate one) — so the spec defines them as IEEE float32 divisions,
+    evaluated in NumPy.  Returns float32 arrays shaped like `peak`.
+    """
+    peak = np.asarray(peak, dtype=np.float32)
+    maxcode = np.float32((1 << (amp_bits - 1)) - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(peak > 0, (peak / maxcode).astype(np.float32), np.float32(0))
+        inv = np.where(peak > 0, (maxcode / peak).astype(np.float32), np.float32(0))
+    return scale.astype(np.float32), inv.astype(np.float32)
+
+
 def mp_encode_jax(
     x: jax.Array,
     bank: jax.Array,
@@ -70,29 +107,62 @@ def mp_encode_jax(
 ) -> EncodedBlock:
     """Encode one block ``x [N, C]`` against ``bank [K, W, C]``.
 
-    `gram_t` is the *transposed* Gram tensor ``gram.transpose(1, 0, 2)``
-    (shape [K, K, 2W-1]) so that ``gram_t[f][g, d] = G[g, f, d]`` — the row
-    gathered per iteration is contiguous.  Must be the exact float32 array
-    from `MultilevelDictionary.gram` (shared with the oracle — SURVEY.md H2).
+    Two jit stages: `encode_init_jax` (fusion-isolated — see its docstring),
+    then the greedy loop.  `gram_t` is the *transposed* Gram tensor
+    ``gram.transpose(1, 0, 2)`` so that ``gram_t[f][g, d] = G[g, f, d]`` —
+    the row gathered per iteration is contiguous.  Must be the exact float32
+    array from `MultilevelDictionary.gram` (shared with the oracle).
     """
+    scores0, e0, peak = encode_init_jax(x, bank)
+    scale, inv_scale = quantizer_steps(jax.device_get(peak), amp_bits)
+    return mp_encode_from_init(
+        scores0, e0, jnp.float32(scale), jnp.float32(inv_scale), bank, gram_t,
+        num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
+        singleton_weight=singleton_weight, n_raw=n_raw, num_select=num_select,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_coefs",
+        "amp_bits",
+        "tolerance_snr",
+        "singleton_weight",
+        "n_raw",
+        "num_select",
+    ),
+)
+def mp_encode_from_init(
+    scores0: jax.Array,
+    e0: jax.Array,
+    scale: jax.Array,
+    inv_scale: jax.Array,
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    num_coefs: int,
+    amp_bits: int = 16,
+    tolerance_snr: float | None = None,
+    singleton_weight: float = 1.0,
+    n_raw: int | None = None,
+    num_select: int = 1,
+) -> EncodedBlock:
+    """The greedy loop given precomputed (scores0 [K, Npos], e0) and host-
+    computed quantizer steps (`quantizer_steps`) — bitwise deterministic on
+    every IEEE backend (SURVEY.md H2; the loop never divides)."""
     k, w, c = bank.shape
     if n_raw is None:
         n_raw = k
-    scores0 = correlate_bank_jax(x, bank)  # [K, Npos] f32
     npos = scores0.shape[1]
     lag = 2 * w - 1
 
     maxcode = jnp.float32((1 << (amp_bits - 1)) - 1)
-    peak = jnp.max(jnp.abs(scores0))
-    scale = jnp.where(peak > 0, peak / maxcode, jnp.float32(0))
-    # in-loop quantizer multiplies by inv_scale (spec: no in-loop division)
-    inv_scale = jnp.where(peak > 0, maxcode / peak, jnp.float32(0))
 
     weights = jnp.where(
         jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
     )
 
-    e0 = jnp.sum(jnp.square(x.astype(jnp.float32)))
     if tolerance_snr is not None:
         snr_thr = e0 * jnp.float32(10.0 ** (-tolerance_snr / 10.0))
     else:

@@ -36,7 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .correlate import correlate_bank_jax
-from .encode import EncodedBlock
+from .encode import (
+    EncodedBlock,
+    encode_init_batched as encode_init,
+    quantizer_steps,
+)
 
 _LPAD = 128  # left pad of the position axis (aligned static slices)
 
@@ -269,22 +273,6 @@ def _mp_kernel(
         eres_ref[base + g, 0] = jnp.maximum(e_ress[g], jnp.float32(0))
 
 
-@jax.jit
-def encode_init(xs: jax.Array, bank: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Batched init correlation + block energies, as its OWN jitted
-    executable.
-
-    Kept separate from the Pallas stage on purpose: the init conv is the one
-    fp-order-dependent computation (SURVEY.md H2), and compiling it standalone
-    pins its reduction order regardless of caller context — the golden-loop
-    tests feed exactly this function's output into the NumPy oracle.
-    Returns (scores0 [B, K, npos] f32, e0 [B] f32).
-    """
-    scores0 = jax.vmap(correlate_bank_jax, in_axes=(0, None))(xs, bank)
-    e0 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(1, 2))
-    return scores0, e0
-
-
 def mp_encode_pallas(
     xs: jax.Array,
     bank: jax.Array,
@@ -303,9 +291,10 @@ def mp_encode_pallas(
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
     """
-    scores0, e0 = encode_init(xs, bank)
+    scores0, e0, peak = encode_init(xs, bank)
+    scale, inv = quantizer_steps(jax.device_get(peak), amp_bits)
     return _mp_pallas_stage(
-        scores0, e0, bank, gram_t,
+        scores0, e0, jnp.asarray(scale), jnp.asarray(inv), bank, gram_t,
         num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
         singleton_weight=singleton_weight, n_raw=n_raw, interpret=interpret,
     )
@@ -321,6 +310,8 @@ def mp_encode_pallas(
 def _mp_pallas_stage(
     scores0: jax.Array,
     e0: jax.Array,
+    scale_in: jax.Array,
+    inv_in: jax.Array,
     bank: jax.Array,
     gram_t: jax.Array,
     *,
@@ -363,10 +354,7 @@ def _mp_pallas_stage(
     weights = jnp.where(
         jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
     )[:, None]
-    peak = jnp.max(jnp.abs(scores0), axis=(1, 2))  # [B]
-    mc = jnp.float32(maxcode)
-    scale_in = jnp.where(peak > 0, peak / mc, jnp.float32(0))
-    inv_in = jnp.where(peak > 0, mc / peak, jnp.float32(0))
+
 
     kernel = functools.partial(
         _mp_kernel,

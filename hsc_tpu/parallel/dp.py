@@ -1,7 +1,15 @@
 """Data-parallel block encoding — the primary scaling strategy (SURVEY.md
 §2.3 P1): signal blocks sharded over the 'data' mesh axis, dictionaries
 replicated, per-block greedy MP fully independent, bitstreams gathered on the
-host in original block order."""
+host in original block order.
+
+Pipeline per batch (same three stages as the single-device path, sharded):
+  1. `encode_init_batched` under the mesh — conv + energies + peaks, sharded
+     over 'data';
+  2. host quantizer steps from the gathered (tiny) peak vector — the spec's
+     IEEE divisions (`ops.encode.quantizer_steps`);
+  3. the greedy-loop jit over sharded (scores0, e0, scale, inv).
+"""
 
 from __future__ import annotations
 
@@ -13,7 +21,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.coder import ConvolutionalMatchingPursuit
-from ..ops.encode import EncodedBlock, mp_encode_jax
+from ..ops.encode import (
+    EncodedBlock,
+    encode_init_batched,
+    mp_encode_from_init,
+    quantizer_steps,
+)
 
 
 class DataParallelEncoder:
@@ -26,22 +39,32 @@ class DataParallelEncoder:
         self.mp = mp
         self.axis = axis
         self._data_sharding = NamedSharding(mesh, P(axis, None, None))
+        self._vec_sharding = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
-        fn = jax.vmap(
-            functools.partial(mp_encode_jax, **mp.settings), in_axes=(0, None, None)
+        settings = {k: v for k, v in mp.settings.items()}
+        loop = jax.vmap(
+            functools.partial(mp_encode_from_init, **settings),
+            in_axes=(0, 0, 0, 0, None, None),
         )
         out_sharding = EncodedBlock(
             positions=NamedSharding(mesh, P(axis, None)),
             atoms=NamedSharding(mesh, P(axis, None)),
             codes=NamedSharding(mesh, P(axis, None)),
-            count=NamedSharding(mesh, P(axis)),
-            scale=NamedSharding(mesh, P(axis)),
-            energy0=NamedSharding(mesh, P(axis)),
-            energy_res=NamedSharding(mesh, P(axis)),
+            count=self._vec_sharding,
+            scale=self._vec_sharding,
+            energy0=self._vec_sharding,
+            energy_res=self._vec_sharding,
         )
-        self._fn = jax.jit(
-            fn,
-            in_shardings=(self._data_sharding, self._repl, self._repl),
+        self._loop = jax.jit(
+            loop,
+            in_shardings=(
+                NamedSharding(mesh, P(axis, None, None)),
+                self._vec_sharding,
+                self._vec_sharding,
+                self._vec_sharding,
+                self._repl,
+                self._repl,
+            ),
             out_shardings=out_sharding,
         )
 
@@ -59,6 +82,15 @@ class DataParallelEncoder:
             xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:], xs.dtype)])
         return xs, b
 
+    def _run(self, arr: jax.Array) -> EncodedBlock:
+        scores0, e0, peak = encode_init_batched(arr, self.mp.bank)
+        scale, inv = quantizer_steps(
+            np.asarray(jax.device_get(peak)), self.mp.settings["amp_bits"]
+        )
+        scale_d = jax.device_put(jnp.asarray(scale), self._vec_sharding)
+        inv_d = jax.device_put(jnp.asarray(inv), self._vec_sharding)
+        return self._loop(scores0, e0, scale_d, inv_d, self.mp.bank, self.mp.gram_t)
+
     def encode(self, xs: np.ndarray) -> EncodedBlock:
         """Encode ``[B, N]`` (or ``[B, N, C]``) blocks; B padded to shards."""
         xs = np.asarray(xs, dtype=np.float32)
@@ -66,7 +98,7 @@ class DataParallelEncoder:
             xs = xs[:, :, None]
         padded, b = self.pad_batch(xs)
         arr = jax.device_put(jnp.asarray(padded), self._data_sharding)
-        enc = self._fn(arr, self.mp.bank, self.mp.gram_t)
+        enc = self._run(arr)
         host = jax.device_get(enc)  # gathers shards in block order
         return EncodedBlock(*(np.asarray(v)[:b] for v in host))
 
@@ -89,6 +121,19 @@ class DataParallelEncoder:
         arr = jax.make_array_from_process_local_data(
             self._data_sharding, local_blocks
         )
-        enc = self._fn(arr, self.mp.bank, self.mp.gram_t)
+        scores0, e0, peak = encode_init_batched(arr, self.mp.bank)
+        peak_global = multihost_utils.process_allgather(peak, tiled=True)
+        scale, inv = quantizer_steps(
+            np.asarray(peak_global), self.mp.settings["amp_bits"]
+        )
+        nl = local_blocks.shape[0]
+        p0 = jax.process_index() * nl
+        scale_d = jax.make_array_from_process_local_data(
+            self._vec_sharding, scale[p0 : p0 + nl]
+        )
+        inv_d = jax.make_array_from_process_local_data(
+            self._vec_sharding, inv[p0 : p0 + nl]
+        )
+        enc = self._loop(scores0, e0, scale_d, inv_d, self.mp.bank, self.mp.gram_t)
         host = multihost_utils.process_allgather(enc, tiled=True)
         return EncodedBlock(*(np.asarray(v)[:n_global] for v in host))

@@ -80,7 +80,7 @@ def main():
     pk = jax.device_get(mp_encode_pallas(xb, bank, gram_t, num_coefs=512))
     dt = time.time() - t0
     print(f"pallas encode B={B}: {dt:.1f}s (incl. compile)", flush=True)
-    s0, e0 = jax.device_get(encode_init(xb, bank))
+    s0, e0, _peak = jax.device_get(encode_init(xb, bank))
     ok = True
     for b in range(4):
         ref = mp_encode(

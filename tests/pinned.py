@@ -6,14 +6,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from hsc_tpu.oracle.mp import feature_map_from_events, mp_encode
-from hsc_tpu.ops.correlate import correlate_bank_jax
+from hsc_tpu.ops.encode import encode_init_jax
 
 
 def device_init(x2d: np.ndarray, bank: np.ndarray):
-    """The device backend's (scores0, energy0) for one block."""
-    scores0 = np.asarray(correlate_bank_jax(jnp.asarray(x2d), jnp.asarray(bank)))
-    e0 = float(np.asarray(jnp.sum(jnp.square(jnp.asarray(x2d, jnp.float32)))))
-    return scores0, e0
+    """The device backend's (scores0, energy0) for one block — exactly the
+    standalone init executable every encode path uses."""
+    s0, e0, _peak = encode_init_jax(jnp.asarray(x2d, jnp.float32), jnp.asarray(bank))
+    return np.asarray(s0), float(np.asarray(e0))
 
 
 def oracle_encode_pinned(x2d, mld, level=0, **overrides):

@@ -1,0 +1,51 @@
+"""Randomized cross-checks: many small random configs through the full
+oracle<->device<->bitstream pipeline (SURVEY.md §4 golden-vector strategy,
+fuzz form)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hsc_tpu import CodecConfig, MultilevelDictionary, SignalGenerator
+from hsc_tpu.io import pack_corpus, unpack_corpus
+from hsc_tpu.models import ConvolutionalSparseCoder
+from hsc_tpu.oracle import mp_decode
+from pinned import oracle_encode_pinned
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_single_level_pipeline(seed):
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 24))
+    w = int(rng.integers(6, 40))
+    block = int(rng.integers(w * 4, 2048))
+    nc = int(rng.integers(4, 80))
+    amp_bits = int(rng.integers(6, 17))
+    entropy = "rice" if seed % 2 else "fixed"
+    ns = int(rng.choice([1, 1, 2, 3]))
+    cfg = CodecConfig(
+        counts=(k,), scales=(w,), num_coefs=(nc,), block_size=block,
+        amp_bits=amp_bits, num_select=ns, entropy=entropy,
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 100, max_correlation=0.98)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(1e-3, 2e-2)))
+    x = gen.generate_signals(1, block, seed=seed)[0]
+
+    coder = ConvolutionalSparseCoder(mld, backend="jax")
+    dev = coder.encode(x)
+    ref = oracle_encode_pinned(x[:, None], mld, 0)
+    assert np.array_equal(dev.positions, ref.positions), cfg
+    assert np.array_equal(dev.atoms, ref.atoms), cfg
+    assert np.array_equal(dev.codes, ref.codes), cfg
+    assert np.float32(dev.scale) == ref.scale
+
+    # serialize, round trip, decode bit-exact on both backends
+    blob = pack_corpus(cfg, [[(0, dev)]])
+    cfg2, blocks = unpack_corpus(blob)
+    assert cfg2 == cfg
+    stream = blocks[0][0][1]
+    a = mp_decode(stream, mld.augmented(0), block)
+    b = coder.reconstruct(stream, n=block)
+    assert a.tobytes() == b.tobytes(), cfg

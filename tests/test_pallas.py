@@ -27,14 +27,13 @@ def test_pallas_matches_jax_path(mld1):
     xb = jnp.asarray(xs)[:, :, None]
     nc = mld1.config.num_coefs[0]
     pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, interpret=True)
-    ref = jax.jit(
-        jax.vmap(functools.partial(mp_encode_jax, num_coefs=nc), in_axes=(0, None, None))
-    )(xb, bank, gt)
-    np.testing.assert_array_equal(np.asarray(pk.count), np.asarray(ref.count))
-    np.testing.assert_array_equal(np.asarray(pk.positions), np.asarray(ref.positions))
-    np.testing.assert_array_equal(np.asarray(pk.atoms), np.asarray(ref.atoms))
-    np.testing.assert_array_equal(np.asarray(pk.codes), np.asarray(ref.codes))
-    np.testing.assert_array_equal(np.asarray(pk.scale), np.asarray(ref.scale))
+    for b in range(3):
+        ref = mp_encode_jax(xb[b], bank, gt, num_coefs=nc)
+        np.testing.assert_array_equal(np.asarray(pk.count[b]), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
+        np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
+        np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
+        np.testing.assert_array_equal(np.asarray(pk.scale[b]), np.asarray(ref.scale))
 
 
 def test_pallas_snr_stop(mld1, signal1):
