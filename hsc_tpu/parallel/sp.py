@@ -70,9 +70,8 @@ def sp_encode(
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
-    def shard_fn(x_loc, bank, gram_t):
-        # x_loc: [1?, L, C] block of the sharded signal — shard_map passes
-        # the local chunk [L, C].
+    def init_fn(x_loc, bank):
+        # x_loc: the local chunk [L, C] of the sharded signal.
         sid = jax.lax.axis_index(axis)
         # ---- halo exchange: W-1 samples from the right neighbor ----------
         halo = jax.lax.ppermute(
@@ -90,16 +89,21 @@ def sp_encode(
         )[0]  # [K, L] — global positions [sid*L, sid*L + L)
         gpos0 = sid * l
         valid = (gpos0 + jnp.arange(l)) < npos_total  # [L]
+        peak_loc = jnp.max(jnp.where(valid[None, :], jnp.abs(scores0), 0.0))
+        peak = jax.lax.pmax(peak_loc, axis)
+        e0 = jax.lax.psum(jnp.sum(jnp.square(x_loc)), axis)
+        return scores0, e0, peak
+
+    def shard_fn(scores0, e0, scale, inv_scale, bank, gram_t):
+        # scores0: the local [K, L] shard of the init correlation; scale /
+        # inv_scale are the host-computed spec divisions (ops.encode
+        # .quantizer_steps — jitted backend division is not IEEE-exact).
+        sid = jax.lax.axis_index(axis)
+        gpos0 = sid * l
+        valid = (gpos0 + jnp.arange(l)) < npos_total  # [L]
         weights = jnp.where(
             jnp.arange(k) < n_raw, jnp.float32(1), jnp.float32(singleton_weight)
         )
-
-        peak_loc = jnp.max(jnp.where(valid[None, :], jnp.abs(scores0), 0.0))
-        peak = jax.lax.pmax(peak_loc, axis)
-        scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
-        inv_scale = jnp.where(peak > 0, jnp.float32(maxcode) / peak, jnp.float32(0))
-
-        e0 = jax.lax.psum(jnp.sum(jnp.square(x_loc)), axis)
         snr_thr = (
             e0 * jnp.float32(snr_factor) if snr_factor is not None else jnp.float32(-1)
         )
@@ -225,15 +229,33 @@ def sp_encode(
             energy_res=jnp.maximum(e_res, jnp.float32(0)),
         )
 
-    shard = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), P()),
-        out_specs=EncodedBlock(
-            positions=P(), atoms=P(), codes=P(), count=P(),
-            scale=P(), energy0=P(), energy_res=P(),
-        ),
-        check_vma=False,
+    from ..ops.encode import quantizer_steps
+
+    bank = jnp.asarray(bank, jnp.float32)
+    init = jax.jit(
+        jax.shard_map(
+            init_fn,
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(None, axis), P(), P()),
+            check_vma=False,
+        )
     )
-    fn = jax.jit(shard)
-    return fn(x, jnp.asarray(bank, jnp.float32), jnp.asarray(gram_t, jnp.float32))
+    scores0_g, e0, peak = init(x, bank)
+    scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
+    loop = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(), P(), P(), P(), P()),
+            out_specs=EncodedBlock(
+                positions=P(), atoms=P(), codes=P(), count=P(),
+                scale=P(), energy0=P(), energy_res=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    return loop(
+        scores0_g, e0, jnp.float32(scale), jnp.float32(inv),
+        bank, jnp.asarray(gram_t, jnp.float32),
+    )

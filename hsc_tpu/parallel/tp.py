@@ -63,8 +63,7 @@ def tp_encode(
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
-    def shard_fn(x_rep, bank_loc, gram_loc):
-        sid = jax.lax.axis_index(axis)
+    def init_fn(x_rep, bank_loc):
         lhs = x_rep.T[None]
         rhs = bank_loc.transpose(0, 2, 1)
         scores0 = jax.lax.conv_general_dilated(
@@ -73,17 +72,20 @@ def tp_encode(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[0]  # [KL, npos]
+        peak = jax.lax.pmax(jnp.max(jnp.abs(scores0)), axis)
+        e0 = jnp.sum(jnp.square(x_rep))  # replicated input -> identical
+        return scores0, e0, peak
+
+    def shard_fn(scores0, e0, scale, inv_scale, bank_loc, gram_loc):
+        # scores0: this shard's [KL, npos] atoms; scale / inv_scale are the
+        # host-computed spec divisions (ops.encode.quantizer_steps).
+        sid = jax.lax.axis_index(axis)
         g0 = sid * kl  # first global atom id of this shard
         weights = jnp.where(
             (g0 + jnp.arange(kl)) < n_raw,
             jnp.float32(1),
             jnp.float32(singleton_weight),
         )
-
-        peak = jax.lax.pmax(jnp.max(jnp.abs(scores0)), axis)
-        scale = jnp.where(peak > 0, peak / jnp.float32(maxcode), jnp.float32(0))
-        inv_scale = jnp.where(peak > 0, jnp.float32(maxcode) / peak, jnp.float32(0))
-        e0 = jnp.sum(jnp.square(x_rep))  # replicated input -> identical
         snr_thr = (
             e0 * jnp.float32(snr_factor) if snr_factor is not None
             else jnp.float32(-1)
@@ -180,16 +182,34 @@ def tp_encode(
             energy_res=jnp.maximum(e_res, jnp.float32(0)),
         )
 
-    shard = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(axis, None, None)),
-        out_specs=EncodedBlock(
-            positions=P(), atoms=P(), codes=P(), count=P(),
-            scale=P(), energy0=P(), energy_res=P(),
-        ),
-        check_vma=False,
+    from ..ops.encode import quantizer_steps
+
+    bank_d = jnp.asarray(bank, jnp.float32)
+    init = jax.jit(
+        jax.shard_map(
+            init_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None, None)),
+            out_specs=(P(axis, None), P(), P()),
+            check_vma=False,
+        )
     )
-    return jax.jit(shard)(
-        x, jnp.asarray(bank, jnp.float32), jnp.asarray(gram, jnp.float32)
+    scores0_g, e0, peak = init(x, bank_d)
+    scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
+    loop = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P(axis, None, None),
+                      P(axis, None, None)),
+            out_specs=EncodedBlock(
+                positions=P(), atoms=P(), codes=P(), count=P(),
+                scale=P(), energy0=P(), energy_res=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    return loop(
+        scores0_g, e0, jnp.float32(scale), jnp.float32(inv),
+        bank_d, jnp.asarray(gram, jnp.float32),
     )
