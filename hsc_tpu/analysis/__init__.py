@@ -4,6 +4,7 @@ from .rates import (
     corpus_rates,
     multilevel_information_rates,
     rate_distortion_curve,
+    hierarchical_rate_distortion_curve,
     visualize_rate_distortion,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "corpus_rates",
     "multilevel_information_rates",
     "rate_distortion_curve",
+    "hierarchical_rate_distortion_curve",
     "visualize_rate_distortion",
 ]

@@ -148,6 +148,48 @@ def rate_distortion_curve(
     return out
 
 
+def hierarchical_rate_distortion_curve(
+    mld, xs: np.ndarray, top_budgets: list[int]
+) -> list[tuple[float, float]]:
+    """(bits/sample, signal SNR dB) of the hierarchical codec at a sweep of
+    top-level coefficient budgets — the hierarchical side of the reference's
+    flat-vs-hierarchical comparison (`hsc/analysis.py ::
+    calculateMultilevelInformationRates`).  Bits counted for the top stream
+    only (the compressed representation); runs the NumPy oracle.
+    """
+    import dataclasses
+
+    from ..oracle.mp import mp_encode, feature_map_from_events, LevelStream
+    from ..oracle import hierarchical_encode, hierarchical_decode
+    from ..utils import snr_db as _snr
+    from ..io.bitstream import pack_stream
+
+    cfg0 = mld.config
+    top = cfg0.num_levels - 1
+    out = []
+    for budget in top_budgets:
+        nc = tuple(
+            list(cfg0.num_coefs[:top]) + [int(budget)]
+        )
+        cfg = dataclasses.replace(cfg0, num_coefs=nc)
+        mld_b = type(mld)(cfg, [d.copy() for d in mld.dicts])
+        bits = 0
+        num = 0.0
+        den = 0.0
+        for b in range(xs.shape[0]):
+            streams = hierarchical_encode(xs[b], mld_b)
+            bits += 8 * len(pack_stream(cfg, top, streams[top]))
+            recon = hierarchical_decode(streams[top], mld_b)
+            ref = xs[b].astype(np.float64)
+            err = ref - recon
+            num += float(np.sum(ref * ref))
+            den += float(np.sum(err * err)) or 1e-20
+        out.append(
+            (bits / (xs.shape[0] * cfg.block_size), 10.0 * math.log10(num / den))
+        )
+    return out
+
+
 def visualize_rate_distortion(curves: dict[str, list[tuple[float, float]]], path=None):
     """Plot SNR-vs-rate curves (reference: `hsc/analysis.py :: visualize*`)."""
     import matplotlib

@@ -42,10 +42,34 @@ class DataParallelEncoder:
         self._vec_sharding = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
         settings = {k: v for k, v in mp.settings.items()}
-        loop = jax.vmap(
-            functools.partial(mp_encode_from_init, **settings),
-            in_axes=(0, 0, 0, 0, None, None),
-        )
+        if mp.backend == "pallas":
+            # full-performance pod path: every shard runs the fused VMEM
+            # kernel on its local blocks (pallas inside shard_map)
+            from ..ops.mp_kernels import _mp_pallas_stage
+
+            kernel_settings = {k: v for k, v in settings.items() if k != "num_select"}
+
+            def loop(scores0, e0, scale, inv, bank, gram_t):
+                return jax.shard_map(
+                    lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(
+                        s0, e, sc, iv, bk, gt, interpret=False, **kernel_settings
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(axis, None, None), P(axis), P(axis), P(axis),
+                              P(), P()),
+                    out_specs=EncodedBlock(
+                        positions=P(axis, None), atoms=P(axis, None),
+                        codes=P(axis, None), count=P(axis), scale=P(axis),
+                        energy0=P(axis), energy_res=P(axis),
+                    ),
+                    check_vma=False,
+                )(scores0, e0, scale, inv, bank, gram_t)
+
+        else:
+            loop = jax.vmap(
+                functools.partial(mp_encode_from_init, **settings),
+                in_axes=(0, 0, 0, 0, None, None),
+            )
         out_sharding = EncodedBlock(
             positions=NamedSharding(mesh, P(axis, None)),
             atoms=NamedSharding(mesh, P(axis, None)),

@@ -59,6 +59,7 @@ def main():
     from hsc_tpu import CodecConfig, MultilevelDictionary, SignalGenerator
     from hsc_tpu.analysis import (
         corpus_rates,
+        hierarchical_rate_distortion_curve,
         rate_distortion_curve,
         visualize_rate_distortion,
     )
@@ -135,11 +136,15 @@ def main():
         flush=True,
     )
 
-    # 4. rate-distortion sweep, flat vs hierarchical top level (reference C9)
+    # 4. rate-distortion sweep, flat vs hierarchical (reference C9 headline)
     budgets = [int(x) for x in args.budget_sweep.split(",")]
     flat = rate_distortion_curve(learned.up_to_level(0), corpus, budgets)
     curves = {"flat (level 0)": flat}
     report["rate_distortion"] = {"flat": flat}
+    if cfg.num_levels > 1:
+        hier = hierarchical_rate_distortion_curve(learned, corpus, budgets)
+        curves[f"hierarchical ({cfg.num_levels} levels)"] = hier
+        report["rate_distortion"]["hierarchical"] = hier
     print(f"[4/5] rate-distortion sweep at budgets {budgets}", flush=True)
 
     # 5. figures + report

@@ -76,3 +76,15 @@ def test_visualize_smoke(tmp_path, mld1):
         {"flat": [(0.5, 5.0), (1.0, 10.0)]}, path=str(tmp_path / "rd.png")
     )
     assert (tmp_path / "rd.png").exists()
+
+
+def test_hierarchical_rate_distortion(mld2):
+    from hsc_tpu import SignalGenerator
+    from hsc_tpu.analysis import hierarchical_rate_distortion_curve
+
+    gen = SignalGenerator(mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)])
+    xs = gen.generate_signals(2, mld2.config.block_size, seed=88)
+    curve = hierarchical_rate_distortion_curve(mld2, xs, [8, 24, 48])
+    rates = [p[0] for p in curve]
+    assert rates == sorted(rates)
+    assert all(np.isfinite(s) for _, s in curve)
