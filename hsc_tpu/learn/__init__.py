@@ -3,6 +3,7 @@ from .kmeans import (
     extract_windows,
     kmeans_assign_update,
 )
+from .online import OnlineConvolutionalDictionaryLearner
 from .trainer import MultilevelTrainer
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "extract_windows",
     "kmeans_assign_update",
     "MultilevelTrainer",
+    "OnlineConvolutionalDictionaryLearner",
 ]

@@ -146,3 +146,46 @@ def test_wav_roundtrip(tmp_path, mld1):
     xn = x / max(abs(x.max()), abs(x.min()))
     flat = blocks.reshape(-1)[:3000]
     assert np.corrcoef(xn, flat)[0, 1] > 0.999
+
+
+def test_online_learner_improves_reconstruction():
+    """Online gradient learner (config 4): loss decreases on a fixed
+    minibatch from a noisy starting bank."""
+    from hsc_tpu.learn.online import OnlineConvolutionalDictionaryLearner
+
+    cfg = make_test_config(counts=(8,), scales=(12,), num_coefs=(48,), block_size=512)
+    mld = MultilevelDictionary.generate(cfg, seed=3)
+    gen = SignalGenerator(mld, rates=2e-2, amplitude_range=(0.8, 1.2))
+    xs = gen.generate_signals(8, 512, seed=11)
+    rng = np.random.default_rng(0)
+    bank0 = rng.standard_normal((8, 12, 1)).astype(np.float32)
+    bank0 /= np.linalg.norm(bank0.reshape(8, -1), axis=1)[:, None, None]
+    learner = OnlineConvolutionalDictionaryLearner(
+        bank0, num_coefs=48, learning_rate=5e-2
+    )
+    losses = [learner.step(xs) for _ in range(12)]
+    assert losses[-1] < losses[0] * 0.9, losses
+    norms = np.linalg.norm(np.asarray(learner.bank).reshape(8, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_online_learner_mesh_close_to_local(mesh=None):
+    """Sharded online step ~= local step (psum reassociation ulps allowed)."""
+    import jax
+    from hsc_tpu.parallel import make_mesh
+    from hsc_tpu.learn.online import OnlineConvolutionalDictionaryLearner
+
+    mesh = make_mesh({"data": 8})
+    cfg = make_test_config(counts=(6,), scales=(12,), num_coefs=(16,), block_size=256)
+    mld = MultilevelDictionary.generate(cfg, seed=5)
+    gen = SignalGenerator(mld, rates=2e-2)
+    xs = gen.generate_signals(8, 256, seed=4)
+    bank0 = mld.dicts[0]
+    a = OnlineConvolutionalDictionaryLearner(bank0, num_coefs=16, learning_rate=1e-2)
+    b = OnlineConvolutionalDictionaryLearner(
+        bank0, num_coefs=16, learning_rate=1e-2, mesh=mesh
+    )
+    la = a.step(xs)
+    lb = b.step(xs)
+    assert abs(la - lb) < 1e-4 * max(1.0, abs(la))
+    np.testing.assert_allclose(np.asarray(a.bank), np.asarray(b.bank), atol=1e-5)
