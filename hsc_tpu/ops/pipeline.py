@@ -1,0 +1,75 @@
+"""Batch pipelining for the three-stage encode (init -> host steps -> loop).
+
+The host quantizer steps (`ops.encode.quantizer_steps`) cost one device->host
+round trip per batch for the tiny peak vector.  On a local TPU host that is
+microseconds; over a remote relay it can dominate.  This helper overlaps the
+round trips across batches: all init stages are dispatched first with async
+host copies of their peaks, then the loop stages are dispatched as each peak
+vector lands — the device stays busy while peaks are in flight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .encode import encode_init_batched, quantizer_steps
+
+
+def encode_batches_pipelined(
+    batches: list[jax.Array],
+    bank: jax.Array,
+    gram_t: jax.Array,
+    *,
+    backend: str = "pallas",
+    **settings,
+):
+    """Encode a list of ``[B, N, C]`` batches; returns a list of EncodedBlock.
+
+    `settings` are the static encode settings (num_coefs, amp_bits, ...).
+    """
+    defaults = dict(
+        amp_bits=16, tolerance_snr=None, singleton_weight=1.0, n_raw=None,
+    )
+    settings = {**defaults, **settings}
+    if backend == "pallas":
+        from .mp_kernels import _mp_pallas_stage
+
+        kernel_settings = {k: v for k, v in settings.items() if k != "num_select"}
+
+        def loop(s0, e0, sc, iv):
+            return _mp_pallas_stage(
+                s0, e0, sc, iv, bank, gram_t, interpret=False, **kernel_settings
+            )
+    else:
+        from .encode import mp_encode_from_init
+
+        vloop = jax.jit(
+            jax.vmap(
+                functools.partial(mp_encode_from_init, **settings),
+                in_axes=(0, 0, 0, 0, None, None),
+            )
+        )
+
+        def loop(s0, e0, sc, iv):
+            return vloop(s0, e0, sc, iv, bank, gram_t)
+
+    # stage 1: dispatch every init; start async copies of the peaks
+    inits = []
+    for xb in batches:
+        s0, e0, peak = encode_init_batched(xb, bank)
+        try:
+            peak.copy_to_host_async()
+        except AttributeError:
+            pass
+        inits.append((s0, e0, peak))
+    # stage 2: as peaks land, compute host steps and dispatch the loops
+    outs = []
+    amp_bits = settings.get("amp_bits", 16)
+    for s0, e0, peak in inits:
+        scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
+        outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
+    return outs
