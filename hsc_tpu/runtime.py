@@ -59,6 +59,12 @@ class CorpusEncoder:
         payloads: dict[int, bytes] = {}
         top = self.cfg.num_levels - 1
 
+        if self.cfg.num_levels == 1:
+            # single-level corpora run the pipelined 3-stage path (init host
+            # round trips overlap device work — ops/pipeline.py)
+            self._encode_single_level_pipelined(blocks, todo, payloads)
+            todo = []
+
         for start in range(0, len(todo), self.batch_size):
             ids = todo[start : start + self.batch_size]
             t0 = time.perf_counter()
@@ -98,6 +104,67 @@ class CorpusEncoder:
             else:
                 parts.append(self.journal.read(b))
         return b"".join(parts)
+
+    def _encode_single_level_pipelined(
+        self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]
+    ) -> None:
+        import jax.numpy as jnp
+
+        from .ops.pipeline import encode_batches_pipelined
+        from .oracle.mp import LevelStream
+
+        mp = self.coder.coders[0].mp
+        batches = []
+        id_groups = []
+        for start in range(0, len(todo), self.batch_size):
+            ids = todo[start : start + self.batch_size]
+            xb = blocks[ids]
+            if xb.ndim == 2:
+                xb = xb[:, :, None]
+            batches.append(jnp.asarray(xb))
+            id_groups.append(ids)
+        if not batches:
+            return
+        t0 = time.perf_counter()
+        backend = "pallas" if mp.backend == "pallas" else "jax"
+        encs = encode_batches_pipelined(
+            batches, mp.bank, mp.gram_t, backend=backend, **mp.settings
+        )
+        import jax
+
+        encs = [jax.device_get(e) for e in encs]
+        dt = time.perf_counter() - t0
+        nblk = len(todo)
+        events = 0
+        total_bytes = 0
+        for ids, enc in zip(id_groups, encs):
+            for j, bid in enumerate(ids):
+                n = int(enc.count[j])
+                stream = LevelStream(
+                    positions=np.asarray(enc.positions[j][:n], np.int32),
+                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
+                    codes=np.asarray(enc.codes[j][:n], np.int32),
+                    scale=np.float32(enc.scale[j]),
+                    energy0=float(enc.energy0[j]),
+                    energy_res=float(enc.energy_res[j]),
+                )
+                payload = self._pack_block(stream)
+                payloads[bid] = payload
+                total_bytes += len(payload)
+                events += n
+                if self.journal:
+                    self.journal.record(bid, payload)
+        self.metrics.log(
+            {
+                "kind": "encode_batch",
+                "blocks": nblk,
+                "seconds": dt,
+                "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
+                "events": events,
+                "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
+                "bits_per_sample": 8.0 * total_bytes / max(nblk * self.cfg.block_size, 1),
+            }
+        )
 
     # -- decode -------------------------------------------------------------
 
