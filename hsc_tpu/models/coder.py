@@ -98,8 +98,6 @@ class ConvolutionalMatchingPursuit:
             backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jax"
         if backend not in ("jax", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown backend {backend!r}")
-        if num_select > 1 and backend.startswith("pallas"):
-            backend = "jax"  # multi-select sweeps run on the XLA path
         self.backend = backend
         self.settings = dict(
             num_coefs=int(num_coefs),
@@ -136,14 +134,16 @@ class ConvolutionalMatchingPursuit:
         if self.backend.startswith("pallas"):
             from ..ops.mp_kernels import mp_encode_pallas
 
-            settings = {k_: v for k_, v in self.settings.items() if k_ != "num_select"}
-            return mp_encode_pallas(
-                xs,
-                self.bank,
-                self.gram_t,
-                interpret=self.backend == "pallas_interpret",
-                **settings,
-            )
+            try:
+                return mp_encode_pallas(
+                    xs,
+                    self.bank,
+                    self.gram_t,
+                    interpret=self.backend == "pallas_interpret",
+                    **self.settings,
+                )
+            except ValueError:
+                pass  # num_select incompatible with this shape's fold -> XLA
         scores0, e0, peak = encode_init_batched(xs, self.bank)
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
         return self._batched_loop(

@@ -181,9 +181,8 @@ def mp_encode_from_init(
     # instead of O(K*Npos).
     # extra tail so multi-select segment slices never clamp (harmless zeros;
     # masked at selection time)
-    seg_extra = (
-        (-(-npos // num_select)) * num_select - npos if num_select > 1 else 0
-    )
+    seg_len_spec = 128 * (-(-npos // (128 * num_select))) if num_select > 1 else 0
+    seg_extra = seg_len_spec * num_select - npos if num_select > 1 else 0
     colmax_pad = jnp.zeros((npos + 2 * w - 2 + seg_extra,), dtype=jnp.float32)
     colmax_pad = jax.lax.dynamic_update_slice(
         colmax_pad, jnp.max(jnp.abs(scores0) * weights[:, None], axis=0), (w - 1,)
@@ -245,7 +244,7 @@ def mp_encode_from_init(
         # one candidate per contiguous position segment per sweep, accepted
         # left-to-right with a 2W-1 interference guard so the per-sweep update
         # windows are disjoint.
-        seg_len = -(-npos // num_select)
+        seg_len = seg_len_spec
         seg_ids = jnp.arange(seg_len)
 
         def seg_body(j, carry):

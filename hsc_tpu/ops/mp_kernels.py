@@ -79,6 +79,7 @@ def _mp_kernel(
     snr_factor: float | None,
     fold: int,
     group: int,
+    num_select: int,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -164,13 +165,14 @@ def _mp_kernel(
             alive = jnp.logical_or(alive, jnp.logical_not(dones[g]))
         return jnp.logical_and(i < num_coefs, alive)
 
-    def step_one(g, done, e_res, count):
-        """One greedy iteration for group member g (mutates its VMEM state)."""
-        cm_fold = colmax[g, :, :l8]
-        m = jnp.max(cm_fold)
-        t = jnp.min(
-            jnp.where(cm_fold == m, fold_pos_ids, big_pos)
-        ).astype(jnp.int32)
+    def process_candidate(g, t, extra_ok, guard_last_t, done, e_res, count):
+        """Quantize + update for one candidate position t of group member g.
+
+        `extra_ok` folds any additional acceptance conditions (multi-select
+        segment validity / budget); `guard_last_t` is the last accepted
+        position this sweep (-1 = none) for the 2W-1 interference guard, or
+        None for single-select.  Returns (emit, done, e_res, count, t).
+        """
         cs = t + _LPAD - (w - 1)
         a = pl.multiple_of((cs // 128) * 128, 128)
         o = cs - a
@@ -189,6 +191,12 @@ def _mp_kernel(
         code_f = jnp.clip(r, -jnp.float32(maxcode), jnp.float32(maxcode))
         code = code_f.astype(jnp.int32)
         emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+        emit = jnp.logical_and(emit, extra_ok)
+        if guard_last_t is not None:
+            guard_ok = jnp.logical_or(
+                guard_last_t < 0, t - guard_last_t >= 2 * w - 1
+            )
+            emit = jnp.logical_and(emit, guard_ok)
         c_hat = jnp.where(emit, code_f * scales[g], jnp.float32(0))
 
         @pl.when(emit)
@@ -245,17 +253,59 @@ def _mp_kernel(
             jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
         )
 
-        new_done = jnp.logical_or(
-            jnp.logical_not(emit),
-            jnp.logical_and(emit, new_e <= snr_thrs[g]),
+        snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
+        return emit, snr_hit, new_e, new_count
+
+    def step_one(g, done, e_res, count):
+        """One plain greedy iteration for group member g."""
+        cm_fold = colmax[g, :, :l8]
+        m = jnp.max(cm_fold)
+        t = jnp.min(
+            jnp.where(cm_fold == m, fold_pos_ids, big_pos)
+        ).astype(jnp.int32)
+        emit, snr_hit, new_e, new_count = process_candidate(
+            g, t, jnp.bool_(True), None, done, e_res, count
         )
+        new_done = jnp.logical_or(jnp.logical_not(emit), snr_hit)
         return new_done, new_e, new_count
+
+    def step_sweep(g, done, e_res, count):
+        """One multi-select sweep for group member g: the fold rows ARE the
+        spec segments (seg_len == L8); one reduction pass yields all
+        candidates, then left-to-right guarded acceptance (oracle semantics —
+        see oracle.mp.mp_encode num_select)."""
+        cm_fold = colmax[g, :, :l8]
+        row_max = jnp.max(cm_fold, axis=1, keepdims=True)  # [fold, 1]
+        row_col = jnp.min(
+            jnp.where(cm_fold == row_max, fold_cols_ids, big_pos),
+            axis=1,
+            keepdims=True,
+        )  # [fold, 1] — lowest in-segment position on ties
+        last_t = jnp.int32(-1)
+        any_acc = jnp.bool_(False)
+        for j in range(fold):
+            seg_ok = jnp.logical_and(
+                row_max[j, 0] >= 0, count < num_coefs
+            )
+            t_j = (j * l8 + row_col[j, 0]).astype(jnp.int32)
+            t_j = jnp.minimum(t_j, jnp.int32(npos - 1))  # empty-segment clamp
+            emit, snr_hit, e_res, count = process_candidate(
+                g, t_j, seg_ok, last_t, done, e_res, count
+            )
+            last_t = jnp.where(emit, t_j, last_t)
+            any_acc = jnp.logical_or(any_acc, emit)
+            done = jnp.logical_or(done, snr_hit)
+        done = jnp.logical_or(done, jnp.logical_not(any_acc))
+        done = jnp.logical_or(done, count >= num_coefs)
+        return done, e_res, count
+
+    step = step_one if num_select <= 1 else step_sweep
 
     def body(state):
         i, dones, e_ress, counts = state
         new_dones, new_es, new_counts = [], [], []
         for g in range(group):
-            nd, ne, nc = step_one(g, dones[g], e_ress[g], counts[g])
+            nd, ne, nc = step(g, dones[g], e_ress[g], counts[g])
             new_dones.append(nd)
             new_es.append(ne)
             new_counts.append(nc)
@@ -283,6 +333,7 @@ def mp_encode_pallas(
     tolerance_snr: float | None = None,
     singleton_weight: float = 1.0,
     n_raw: int | None = None,
+    num_select: int = 1,
     interpret: bool = False,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
@@ -296,7 +347,8 @@ def mp_encode_pallas(
     return _mp_pallas_stage(
         scores0, e0, jnp.asarray(scale), jnp.asarray(inv), bank, gram_t,
         num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
-        singleton_weight=singleton_weight, n_raw=n_raw, interpret=interpret,
+        singleton_weight=singleton_weight, n_raw=n_raw,
+        num_select=num_select, interpret=interpret,
     )
 
 
@@ -304,7 +356,7 @@ def mp_encode_pallas(
     jax.jit,
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
-        "interpret",
+        "num_select", "interpret",
     ),
 )
 def _mp_pallas_stage(
@@ -320,7 +372,8 @@ def _mp_pallas_stage(
     tolerance_snr: float | None,
     singleton_weight: float,
     n_raw: int | None,
-    interpret: bool,
+    num_select: int = 1,
+    interpret: bool = False,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -334,6 +387,12 @@ def _mp_pallas_stage(
     fold = 8
     while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
         fold //= 2
+    if num_select not in (1, fold):
+        # the fused sweep requires segments == selection-cache rows; callers
+        # fall back to the XLA multi-select path for other S
+        raise ValueError(
+            f"pallas num_select must be 1 or the fold factor ({fold})"
+        )
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
     p2 = _LPAD + npos_pad8 + cw
@@ -360,6 +419,7 @@ def _mp_pallas_stage(
         _mp_kernel,
         k=k, w=w, npos=npos, npos_pad=npos_pad, num_coefs=num_coefs,
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
+        num_select=num_select,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

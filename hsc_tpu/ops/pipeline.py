@@ -38,11 +38,9 @@ def encode_batches_pipelined(
     if backend == "pallas":
         from .mp_kernels import _mp_pallas_stage
 
-        kernel_settings = {k: v for k, v in settings.items() if k != "num_select"}
-
         def loop(s0, e0, sc, iv):
             return _mp_pallas_stage(
-                s0, e0, sc, iv, bank, gram_t, interpret=False, **kernel_settings
+                s0, e0, sc, iv, bank, gram_t, interpret=False, **settings
             )
     else:
         from .encode import mp_encode_from_init

@@ -122,9 +122,12 @@ def mp_encode(
     sweep selects one candidate per segment (two-stage rule within the
     segment), then accepts them left-to-right, skipping any candidate closer
     than 2W-1 to the previously accepted one (so the per-sweep updates touch
-    disjoint windows and every accepted score is exact).  Amortizes selection
-    cost across several retained coefficients at a small greediness cost;
-    `num_select=1` is the plain greedy spec.
+    disjoint windows and every accepted score is exact).  Segments are
+    ``128*ceil(npos/(128*S))`` positions long (lane-aligned, so the device's
+    folded selection-cache rows are exactly the segments when S equals the
+    fold factor).  Amortizes selection cost across several retained
+    coefficients at a small greediness cost; `num_select=1` is the plain
+    greedy spec.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
@@ -168,7 +171,9 @@ def mp_encode(
     positions, atoms, codes = [], [], []
     if scale > 0 and num_select > 1:
         s_count = int(num_select)
-        seg_len = -(-npos // s_count)
+        # spec segment length: 128-lane aligned so the device's folded
+        # selection cache rows ARE the segments when S == fold
+        seg_len = 128 * (-(-npos // (128 * s_count)))
         done = False
         while not done and len(positions) < int(num_coefs):
             weighted = np.abs(scores) * weights[:, None]

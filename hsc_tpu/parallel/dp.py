@@ -47,12 +47,10 @@ class DataParallelEncoder:
             # kernel on its local blocks (pallas inside shard_map)
             from ..ops.mp_kernels import _mp_pallas_stage
 
-            kernel_settings = {k: v for k, v in settings.items() if k != "num_select"}
-
             def loop(scores0, e0, scale, inv, bank, gram_t):
                 return jax.shard_map(
                     lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(
-                        s0, e, sc, iv, bk, gt, interpret=False, **kernel_settings
+                        s0, e, sc, iv, bk, gt, interpret=False, **settings
                     ),
                     mesh=mesh,
                     in_specs=(P(axis, None, None), P(axis), P(axis), P(axis),

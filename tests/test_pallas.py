@@ -98,3 +98,40 @@ def test_pallas_decode_matches_jax(mld1):
     # VMEM round-trip is a real rounding point and byte-exactness on hardware
     # is asserted by scripts/check_tpu_parity.py.
     np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_pallas_multi_select_matches_oracle(mld1, signal1):
+    """Fused sweep (num_select == fold) emits the oracle's multi-select
+    stream (interpret mode)."""
+    from pinned import oracle_encode_pinned
+    from hsc_tpu.ops.mp_kernels import mp_encode_pallas, _round_up
+
+    cfg = mld1.config
+    npos = cfg.block_size - cfg.window_sizes[0] + 1
+    lag = 2 * cfg.window_sizes[0] - 1
+    cw = _round_up(128 + lag, 128)
+    fold = 8
+    while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
+        fold //= 2
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(signal1)[None, :, None]
+    pk = mp_encode_pallas(
+        xb, bank, gt, num_coefs=cfg.num_coefs[0], num_select=fold, interpret=True
+    )
+    ref = oracle_encode_pinned(signal1[:, None], mld1, 0, num_select=fold)
+    n = int(pk.count[0])
+    assert n == ref.positions.shape[0]
+    np.testing.assert_array_equal(np.asarray(pk.positions[0][:n]), ref.positions)
+    np.testing.assert_array_equal(np.asarray(pk.atoms[0][:n]), ref.atoms)
+    np.testing.assert_array_equal(np.asarray(pk.codes[0][:n]), ref.codes)
+
+
+def test_pallas_multi_select_bad_s(mld1, signal1):
+    from hsc_tpu.ops.mp_kernels import mp_encode_pallas
+
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(signal1)[None, :, None]
+    with pytest.raises(ValueError):
+        mp_encode_pallas(xb, bank, gt, num_coefs=8, num_select=3, interpret=True)
