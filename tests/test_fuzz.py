@@ -49,3 +49,39 @@ def test_fuzz_single_level_pipeline(seed):
     a = mp_decode(stream, mld.augmented(0), block)
     b = coder.reconstruct(stream, n=block)
     assert a.tobytes() == b.tobytes(), cfg
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_hierarchical_pipeline(seed):
+    from hsc_tpu.models import HierarchicalConvolutionalSparseCoder
+    from pinned import oracle_hierarchical_pinned
+    from hsc_tpu.oracle import hierarchical_decode
+
+    rng = np.random.default_rng(1000 + seed)
+    k0 = int(rng.integers(4, 14))
+    k1 = int(rng.integers(3, 8))
+    w0 = int(rng.integers(8, 20))
+    s1 = int(w0 + rng.integers(8, 40))
+    block = int(rng.integers(s1 * 4, 1536))
+    cfg = CodecConfig(
+        counts=(k0, k1), scales=(w0, s1),
+        num_coefs=(int(rng.integers(8, 48)), int(rng.integers(4, 24))),
+        block_size=block,
+        entropy="rice" if seed % 2 else "fixed",
+        singleton_weight=float(rng.uniform(0.5, 1.0)),
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 5, max_correlation=0.98)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 1e-2)))
+    x = gen.generate_signals(1, block, seed=seed)[0]
+
+    coder = HierarchicalConvolutionalSparseCoder(mld, backend="jax")
+    dev = coder.encode(x)
+    ref = oracle_hierarchical_pinned(x, mld)
+    for level in range(2):
+        assert np.array_equal(dev[level].positions, ref[level].positions), cfg
+        assert np.array_equal(dev[level].codes, ref[level].codes), cfg
+
+    # decode bit-exact device vs oracle
+    a = coder.reconstruct(dev[1])
+    b = hierarchical_decode(dev[1], mld)
+    assert a.tobytes() == b.tobytes(), cfg
