@@ -1,0 +1,87 @@
+"""Weak-scaling harness for data-parallel encode (BASELINE.md scaling target).
+
+Measures blocks/s at 1, 2, 4, ... shards with a constant per-shard load and
+reports parallel efficiency.  On this environment only one TPU chip is
+reachable, so the default run uses the 8-way virtual CPU mesh — it validates
+the *sharding structure* (no hidden serialization or cross-shard chatter in
+the encode path); absolute multi-chip numbers need a pod slice, where the
+same code runs unchanged (`parallel/dp.py`, `parallel/mesh.py`).
+
+  python scripts/bench_scaling.py            # virtual CPU mesh
+  python scripts/bench_scaling.py --blocks-per-shard 4 --max-shards 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--blocks-per-shard", type=int, default=2)
+    p.add_argument("--max-shards", type=int, default=8)
+    p.add_argument("--block-size", type=int, default=4096)
+    p.add_argument("--num-coefs", type=int, default=128)
+    p.add_argument("--counts", type=int, default=32)
+    p.add_argument("--scales", type=int, default=32)
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    args = p.parse_args()
+
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        f"--xla_force_host_platform_device_count={args.max_shards}",
+    )
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from hsc_tpu import CodecConfig, MultilevelDictionary, SignalGenerator
+    from hsc_tpu.models import ConvolutionalSparseCoder
+    from hsc_tpu.parallel import DataParallelEncoder, make_mesh
+
+    cfg = CodecConfig(
+        counts=(args.counts,), scales=(args.scales,),
+        num_coefs=(args.num_coefs,), block_size=args.block_size,
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=7)
+    gen = SignalGenerator(mld, rates=2e-3)
+    coder = ConvolutionalSparseCoder(mld, backend="jax")
+
+    ndev = len(jax.devices())
+    shard_counts = [s for s in (1, 2, 4, 8, 16, 32) if s <= min(ndev, args.max_shards)]
+    results = []
+    base_rate = None
+    for s in shard_counts:
+        mesh = make_mesh({"data": s}, devices=jax.devices()[:s])
+        dp = DataParallelEncoder(mesh, coder.mp)
+        nb = s * args.blocks_per_shard
+        xs = gen.generate_signals(nb, cfg.block_size, seed=3)
+        dp.encode(xs)  # warm compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dp.encode(xs)
+            best = min(best, time.perf_counter() - t0)
+        rate = nb / best
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * s)
+        results.append(
+            {"shards": s, "blocks": nb, "blocks_per_s": round(rate, 2),
+             "weak_scaling_efficiency": round(eff, 3)}
+        )
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
