@@ -45,9 +45,11 @@ def main():
     if args.platform:
         import jax
 
-        jax.config.update(
-            "jax_platforms", {"cpu": "cpu", "tpu": "axon,tpu"}[args.platform]
-        )
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        # --platform tpu: keep the environment's default TPU backend
+        # (overriding with an explicit list breaks when the platform is
+        # registered under a different name, e.g. a relay plugin)
 
     from hsc_tpu import MultilevelDictionary
     from hsc_tpu.analysis import corpus_rates
