@@ -33,7 +33,12 @@ class CorpusEncoder:
         journal_dir: str | None = None,
         metrics_path: str | None = None,
         process_index: int = 0,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
+        # mesh: shard encode batches over mesh_axis (data parallelism,
+        # parallel/dp.py); single-level corpora only for now (the hierarchy's
+        # upper levels run batched on the default device placement).
         self.mld = mld
         self.cfg: CodecConfig = mld.config
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
@@ -42,6 +47,13 @@ class CorpusEncoder:
             EncodeJournal(journal_dir) if journal_dir is not None else None
         )
         self.metrics = MetricsLogger(metrics_path, process_index)
+        self.dp = None
+        if mesh is not None and self.cfg.num_levels == 1:
+            from .parallel.dp import DataParallelEncoder
+
+            self.dp = DataParallelEncoder(
+                mesh, self.coder.coders[0].mp, axis=mesh_axis
+            )
 
     # -- encode -------------------------------------------------------------
 
@@ -59,7 +71,10 @@ class CorpusEncoder:
         payloads: dict[int, bytes] = {}
         top = self.cfg.num_levels - 1
 
-        if self.cfg.num_levels == 1:
+        if self.dp is not None:
+            self._encode_dp(blocks, todo, payloads)
+            todo = []
+        elif self.cfg.num_levels == 1:
             # single-level corpora run the pipelined 3-stage path (init host
             # round trips overlap device work — ops/pipeline.py)
             self._encode_single_level_pipelined(blocks, todo, payloads)
@@ -104,6 +119,50 @@ class CorpusEncoder:
             else:
                 parts.append(self.journal.read(b))
         return b"".join(parts)
+
+    def _encode_dp(
+        self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]
+    ) -> None:
+        """Mesh-sharded encode: super-batches of batch_size x num_shards
+        blocks through the DataParallelEncoder (original order preserved)."""
+        from .oracle.mp import LevelStream
+
+        super_batch = self.batch_size * self.dp.num_shards
+        for start in range(0, len(todo), super_batch):
+            ids = todo[start : start + super_batch]
+            t0 = time.perf_counter()
+            enc = self.dp.encode(blocks[ids])
+            dt = time.perf_counter() - t0
+            events = 0
+            total_bytes = 0
+            for j, bid in enumerate(ids):
+                n = int(enc.count[j])
+                stream = LevelStream(
+                    positions=np.asarray(enc.positions[j][:n], np.int32),
+                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
+                    codes=np.asarray(enc.codes[j][:n], np.int32),
+                    scale=np.float32(enc.scale[j]),
+                    energy0=float(enc.energy0[j]),
+                    energy_res=float(enc.energy_res[j]),
+                )
+                payload = self._pack_block(stream)
+                payloads[bid] = payload
+                total_bytes += len(payload)
+                events += n
+                if self.journal:
+                    self.journal.record(bid, payload)
+            self.metrics.log(
+                {
+                    "kind": "encode_batch",
+                    "shards": self.dp.num_shards,
+                    "blocks": len(ids),
+                    "seconds": dt,
+                    "mb_per_s": len(ids) * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
+                    "events": events,
+                    "bits_per_sample": 8.0 * total_bytes
+                    / max(len(ids) * self.cfg.block_size, 1),
+                }
+            )
 
     def _encode_single_level_pipelined(
         self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]

@@ -92,3 +92,16 @@ def test_corpus_encoder_roundtrip_and_resume(tmp_path, mld1):
     blob2 = enc2.encode(xs)
     assert blob2 == blob1
     assert read_metrics(str(tmp_path / "m2.jsonl")) == []
+
+
+def test_corpus_encoder_with_mesh_matches_local(tmp_path, mld1):
+    """Mesh-sharded CorpusEncoder produces byte-identical containers."""
+    import jax
+    from hsc_tpu.parallel import make_mesh
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(10, mld1.config.block_size, seed=72)
+    local = CorpusEncoder(mld1, backend="jax", batch_size=4)
+    mesh = make_mesh({"data": 8})
+    sharded = CorpusEncoder(mld1, backend="jax", batch_size=2, mesh=mesh)
+    assert sharded.encode(xs) == local.encode(xs)
