@@ -55,7 +55,7 @@ def _mp_kernel(
     sc_ref,  # [B, 1] f32 SMEM — per-block quantizer step (XLA-computed)
     inv_ref,  # [B, 1] f32 SMEM — per-block inverse step (XLA-computed)
     scores_hbm,  # [B, K, npos_pad] f32 ANY (stays in HBM)
-    gram_ref,  # [K, K, CW] f32 VMEM (resident; lag lanes + zero pad to CW)
+    gram_ref,  # [K, K, lag] f32 VMEM (resident)
     w_ref,  # [K, 1] f32 VMEM (selection weights)
     # outputs
     pos_ref,  # [B, M] i32 SMEM
@@ -211,10 +211,14 @@ def _mp_kernel(
         e_step = jnp.float32(2.0) * c_hat * s
         new_e = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
 
-        # Gram-domain update: place the (pre-padded) Gram row at the window
-        # offset with a dynamic roll (no wraparound: o + lag <= CW), subtract,
-        # store back.
-        u0 = gram_ref[pl.ds(f, 1), :, :][0]  # [K, CW], zeros beyond lag
+        # Gram-domain update: place the Gram row at the window offset with a
+        # dynamic roll (no wraparound: o + lag <= CW), subtract, store back.
+        # (Pre-padding the Gram to CW lanes was tried and measured SLOWER:
+        # the 4x bigger resident Gram shrinks the interleave-group budget.)
+        gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
+        u0 = jnp.concatenate(
+            [gram_row, jnp.zeros((k, cw - lag), jnp.float32)], axis=1
+        )
         u = pltpu.roll(u0, o, 1)
         # The spec is multiply-round-subtract-round (the oracle's two float32
         # roundings).  The TPU toolchain compiles with excess precision
@@ -397,7 +401,7 @@ def _mp_pallas_stage(
     # blocks interleaved per program: as many as fit a ~12 MB VMEM budget
     # (the greedy loop is latency-bound; G independent chains overlap)
     per_block = (k * p2 + fold * (l8 + cw) + k * cw) * 4
-    gram_bytes = k * k * cw * 4
+    gram_bytes = k * k * lag * 4
     group = 1
     while (
         group < 4
@@ -428,7 +432,7 @@ def _mp_pallas_stage(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_scale [B, 1]
             pl.BlockSpec(memory_space=pltpu.ANY),  # scores stay in HBM
-            pl.BlockSpec((k, k, cw), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, lag), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -460,7 +464,7 @@ def _mp_pallas_stage(
         out_shape=out_shape,
         interpret=interpret,
     )(e0[:, None], scale_in[:, None], inv_in[:, None], scores0,
-      jnp.pad(jnp.asarray(gram_t), ((0, 0), (0, 0), (0, cw - lag))), weights)
+      jnp.asarray(gram_t), weights)
     # SMEM event buffers beyond `count` are uninitialized — mask to match the
     # zero-padded contract of mp_encode_jax.
     mask = jnp.arange(num_coefs)[None, :] < count
