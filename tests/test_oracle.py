@@ -158,3 +158,25 @@ def test_hierarchical_singleton_passthrough(mld2):
     top = streams[1]
     recon = hierarchical_decode(top, mld2)
     assert snr_db(sig, recon) > 20.0
+
+
+def test_tiny_amp_bits(mld1, signal1):
+    """amp_bits=2: codes in {-1, 0, 1}; loop still terminates and decodes."""
+    stream = _encode(signal1, mld1, amp_bits=2)
+    assert np.all(np.abs(stream.codes) <= 1)
+    assert np.all(stream.codes != 0)
+    recon = mp_decode(stream, mld1.augmented(0), mld1.config.block_size)
+    assert np.all(np.isfinite(recon))
+
+
+def test_single_coefficient_budget(mld1, signal1):
+    stream = _encode(signal1, mld1, num_coefs=1)
+    assert stream.positions.shape[0] == 1
+
+
+def test_constant_signal(mld1):
+    """A DC signal (atoms are roughly zero-mean) still encodes safely."""
+    sig = np.full(mld1.config.block_size, 0.5, dtype=np.float32)
+    stream = _encode(sig, mld1)
+    recon = mp_decode(stream, mld1.augmented(0), mld1.config.block_size)
+    assert np.all(np.isfinite(recon))

@@ -105,3 +105,21 @@ def test_corpus_encoder_with_mesh_matches_local(tmp_path, mld1):
     mesh = make_mesh({"data": 8})
     sharded = CorpusEncoder(mld1, backend="jax", batch_size=2, mesh=mesh)
     assert sharded.encode(xs) == local.encode(xs)
+
+
+def test_corpus_encoder_rice_roundtrip(mld1):
+    """Runtime pipeline under rice entropy: encode -> container -> decode,
+    decoded output matches the ordered-decode of the sorted streams."""
+    import dataclasses
+
+    cfg = dataclasses.replace(mld1.config, entropy="rice")
+    mld = type(mld1)(cfg, [d.copy() for d in mld1.dicts])
+    gen = SignalGenerator(mld, rates=4e-3)
+    xs = gen.generate_signals(4, cfg.block_size, seed=73)
+    enc = CorpusEncoder(mld, backend="jax", batch_size=2)
+    blob = enc.encode(xs)
+    fixed_blob = CorpusEncoder(mld1, backend="jax", batch_size=2).encode(xs)
+    assert len(blob) < len(fixed_blob)  # rice streams are smaller
+    decoded = enc.decode(blob)
+    for b in range(4):
+        assert snr_db(xs[b], decoded[b]) > 3.0
