@@ -22,7 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import CodecConfig
 from ..dictionary import MultilevelDictionary
 from ..io import pack_corpus, unpack_corpus
 from ..ops.decode import mp_decode_batch_jax, mp_decode_jax

@@ -29,13 +29,11 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .correlate import correlate_bank_jax
 from .encode import (
     EncodedBlock,
     encode_init_batched as encode_init,

@@ -32,7 +32,6 @@ import math
 
 import numpy as np
 
-from ..config import CodecConfig
 from ..dictionary import MultilevelDictionary
 
 
