@@ -27,9 +27,9 @@ from ..io import pack_corpus, unpack_corpus
 from ..ops.decode import mp_decode_batch_jax, mp_decode_jax
 from ..ops.encode import (
     EncodedBlock,
+    batched_loop_for,
     encode_init_batched,
     feature_map_jax,
-    mp_encode_from_init,
     mp_encode_jax,
     quantizer_steps,
 )
@@ -107,13 +107,9 @@ class ConvolutionalMatchingPursuit:
             num_select=int(num_select),
         )
         # batched = shared standalone init executable + vmapped loop (the
-        # init must NOT fuse into the loop jit — SURVEY.md H2)
-        self._batched_loop = jax.jit(
-            jax.vmap(
-                functools.partial(mp_encode_from_init, **self.settings),
-                in_axes=(0, 0, 0, 0, None, None),
-            )
-        )
+        # init must NOT fuse into the loop jit — SURVEY.md H2); the loop jit
+        # is cached per settings tuple so instances share compilations
+        self._batched_loop = batched_loop_for(tuple(sorted(self.settings.items())))
 
     def compute_coefficients(self, x) -> EncodedBlock:
         """Encode one block ``[N, C]`` (or ``[N]``)."""

@@ -76,6 +76,23 @@ def encode_init_batched(
     return scores0, e0, jnp.max(jnp.abs(scores0), axis=(1, 2))
 
 
+@functools.lru_cache(maxsize=None)
+def batched_loop_for(settings_items: tuple):
+    """Cached jit(vmap) of the greedy loop for a static-settings tuple.
+
+    Callers must NOT build their own `jax.jit(jax.vmap(partial(...)))` — a
+    fresh closure per call site defeats jit's cache and recompiles on every
+    call (dict(settings).items() sorted -> the cache key).
+    """
+    settings = dict(settings_items)
+    return jax.jit(
+        jax.vmap(
+            functools.partial(mp_encode_from_init, **settings),
+            in_axes=(0, 0, 0, 0, None, None),
+        )
+    )
+
+
 def quantizer_steps(peak, amp_bits: int):
     """Spec quantizer steps from the init peak, computed on the HOST.
 

@@ -43,14 +43,9 @@ def encode_batches_pipelined(
                 s0, e0, sc, iv, bank, gram_t, interpret=False, **settings
             )
     else:
-        from .encode import mp_encode_from_init
+        from .encode import batched_loop_for
 
-        vloop = jax.jit(
-            jax.vmap(
-                functools.partial(mp_encode_from_init, **settings),
-                in_axes=(0, 0, 0, 0, None, None),
-            )
-        )
+        vloop = batched_loop_for(tuple(sorted(settings.items())))
 
         def loop(s0, e0, sc, iv):
             return vloop(s0, e0, sc, iv, bank, gram_t)

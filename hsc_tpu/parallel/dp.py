@@ -68,6 +68,8 @@ class DataParallelEncoder:
                 functools.partial(mp_encode_from_init, **settings),
                 in_axes=(0, 0, 0, 0, None, None),
             )
+            # (wrapped in a sharded jit below; DP encoders are long-lived so
+            # the per-instance jit is fine here)
         out_sharding = EncodedBlock(
             positions=NamedSharding(mesh, P(axis, None)),
             atoms=NamedSharding(mesh, P(axis, None)),
