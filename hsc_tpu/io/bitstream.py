@@ -177,7 +177,10 @@ def _unpack_rice(
     level, n, scale, k = struct.unpack_from("<BIfB", data, off)
     off += struct.calcsize("<BIfB")
     ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
-    rd = _BitReader(data, off)
+    # bound the bit-reader's window by the worst-case stream length so
+    # decoding block i of a large corpus does not unpack every later block
+    max_bits = n * (_RICE_ESCAPE + pb + ab + cb)
+    rd = _BitReader(data[: off + (max_bits + 7) // 8 + 1], off)
     positions = np.zeros(n, np.int32)
     atoms = np.zeros(n, np.int32)
     codes = np.zeros(n, np.int32)

@@ -24,6 +24,7 @@ class EncodeJournal:
         self._load()
         self._data = open(self._dpath, "ab")
         self._journal = open(self._jpath, "a")
+        self._reader = open(self._dpath, "rb")
 
     def _load(self) -> None:
         if not (os.path.exists(self._jpath) and os.path.exists(self._dpath)):
@@ -58,9 +59,8 @@ class EncodeJournal:
 
     def read(self, block_id: int) -> bytes:
         off, length, crc = self._index[block_id]
-        with open(self._dpath, "rb") as f:
-            f.seek(off)
-            data = f.read(length)
+        self._reader.seek(off)
+        data = self._reader.read(length)
         if zlib.crc32(data) != crc:
             raise IOError(f"journal corruption at block {block_id}")
         return data
@@ -75,3 +75,4 @@ class EncodeJournal:
     def close(self) -> None:
         self._data.close()
         self._journal.close()
+        self._reader.close()

@@ -50,7 +50,11 @@ def sp_encode(
 
     Emits the same stream as the single-device encoder given identical
     correlation values (the greedy loop arithmetic is replicated bit-for-bit;
-    every shard returns identical event buffers).
+    every shard returns identical event buffers).  Caveat: with
+    `tolerance_snr` set, e0 is a psum of per-shard partial sums whose float32
+    value can differ from the single-device sum by ulps, so the SNR stop can
+    trigger one event earlier/later than the single-device encoder near the
+    threshold; the emitted stream is still a valid spec stream.
     """
     k, w, c = bank.shape
     if n_raw is None:
