@@ -265,12 +265,17 @@ def mp_encode_from_init(
         seg_ids = jnp.arange(seg_len)
 
         def seg_body(j, carry):
-            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
-             count, last_t, any_acc) = carry
+            (snapshot, scores_pad, colmax_pad, e_res, done, positions, atoms,
+             codes, count, last_t, any_acc) = carry
             lo = j * seg_len
-            seg = jax.lax.dynamic_slice(colmax_pad, (w - 1 + lo,), (seg_len,))
+            # candidates come from the SWEEP-START colmax snapshot (oracle
+            # semantics: one selection pass per sweep; intra-sweep updates
+            # only affect the next sweep)
+            seg = jax.lax.dynamic_slice(snapshot, (w - 1 + lo,), (seg_len,))
             seg = jnp.where(lo + seg_ids < npos, seg, jnp.float32(-1))
+            seg_best = jnp.max(seg)
             t = (lo + jnp.argmax(seg)).astype(jnp.int32)
+            t = jnp.minimum(t, jnp.int32(npos - 1))  # empty-segment clamp
             col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (k, 1))[:, 0]
             f = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)
             s = col[f]
@@ -280,6 +285,7 @@ def mp_encode_from_init(
             guard_ok = jnp.logical_or(last_t < 0, t - last_t >= 2 * w - 1)
             emit = (
                 jnp.logical_not(done)
+                & (seg_best >= 0)
                 & (code != 0)
                 & guard_ok
                 & (count < num_coefs)
@@ -301,8 +307,8 @@ def mp_encode_from_init(
             last_t = jnp.where(emit, t, last_t)
             any_acc = jnp.logical_or(any_acc, emit)
             done = jnp.logical_or(done, jnp.logical_and(emit, e_res <= snr_thr))
-            return (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
-                    count, last_t, any_acc)
+            return (snapshot, scores_pad, colmax_pad, e_res, done, positions,
+                    atoms, codes, count, last_t, any_acc)
 
         def sweep_cond(carry):
             (_, _, _, done, _, _, _, count) = carry
@@ -314,10 +320,10 @@ def mp_encode_from_init(
                 0,
                 num_select,
                 seg_body,
-                (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
-                 count, jnp.int32(-1), jnp.bool_(False)),
+                (colmax_pad, scores_pad, colmax_pad, e_res, done, positions,
+                 atoms, codes, count, jnp.int32(-1), jnp.bool_(False)),
             )
-            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+            (_, scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
              count, _, any_acc) = out
             done = jnp.logical_or(done, jnp.logical_not(any_acc))
             return (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count)

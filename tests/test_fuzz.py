@@ -15,7 +15,7 @@ from hsc_tpu.oracle import mp_decode
 from pinned import oracle_encode_pinned
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_single_level_pipeline(seed):
     rng = np.random.default_rng(seed)
     k = int(rng.integers(3, 24))
@@ -24,10 +24,12 @@ def test_fuzz_single_level_pipeline(seed):
     nc = int(rng.integers(4, 80))
     amp_bits = int(rng.integers(6, 17))
     entropy = "rice" if seed % 2 else "fixed"
-    ns = int(rng.choice([1, 1, 2, 3]))
+    ns = int(rng.choice([1, 1, 2, 3, 8]))
+    tol = float(rng.uniform(3.0, 20.0)) if seed % 3 == 0 else None
     cfg = CodecConfig(
         counts=(k,), scales=(w,), num_coefs=(nc,), block_size=block,
         amp_bits=amp_bits, num_select=ns, entropy=entropy,
+        tolerance_snr=tol,
     )
     mld = MultilevelDictionary.generate(cfg, seed=seed + 100, max_correlation=0.98)
     gen = SignalGenerator(mld, rates=float(rng.uniform(1e-3, 2e-2)))
