@@ -71,6 +71,7 @@ def test_fuzz_hierarchical_pipeline(seed):
         block_size=block,
         entropy="rice" if seed % 2 else "fixed",
         singleton_weight=float(rng.uniform(0.5, 1.0)),
+        num_select=int(rng.choice([1, 1, 2])),
     )
     mld = MultilevelDictionary.generate(cfg, seed=seed + 5, max_correlation=0.98)
     gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 1e-2)))
