@@ -299,7 +299,8 @@ class HierarchicalConvolutionalSparseCoder:
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
-        pos, atm, cds, count = _pad_stream(top_stream, max(cfg.num_coefs[level], 1))
+        cap = max(cfg.num_coefs[level], 1, int(top_stream.positions.shape[0]))
+        pos, atm, cds, count = _pad_stream(top_stream, cap)
         out = mp_decode_jax(
             jnp.asarray(pos),
             jnp.asarray(atm),
@@ -319,7 +320,10 @@ class HierarchicalConvolutionalSparseCoder:
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
-        cap = max(cfg.num_coefs[level], 1)
+        cap = max(
+            [cfg.num_coefs[level], 1]
+            + [int(s.positions.shape[0]) for s in streams]
+        )
         nb = len(streams)
         pos = np.zeros((nb, cap), np.int32)
         atm = np.zeros((nb, cap), np.int32)

@@ -229,8 +229,16 @@ class CorpusEncoder:
 
     def decode(self, blob: bytes) -> np.ndarray:
         cfg, blocks = unpack_corpus(blob)
-        if cfg != self.cfg:
-            raise ValueError("corpus config does not match this encoder")
+        # The stream header is the authoritative config (docs/FORMAT.md);
+        # only the dictionary GEOMETRY must match this codec — encode-time
+        # knobs (budgets, entropy, num_select, tolerance) may differ.
+        geometry = ("counts", "scales", "block_size")
+        for field in geometry:
+            if getattr(cfg, field) != getattr(self.cfg, field):
+                raise ValueError(
+                    f"stream {field}={getattr(cfg, field)} does not match "
+                    f"this dictionary ({getattr(self.cfg, field)})"
+                )
         top = cfg.num_levels - 1
         t0 = time.perf_counter()
         if all(len(s) == 1 and s[0][0] == top for s in blocks):

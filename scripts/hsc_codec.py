@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--journal-dir", default=None)
     p.add_argument("--metrics", default=None)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--entropy", choices=["fixed", "rice"], default=None,
+                   help="override the dictionary's stream entropy mode")
+    p.add_argument("--num-select", type=int, default=None,
+                   help="override selections per greedy sweep (nbBlocks)")
+    p.add_argument("--num-coefs", type=int, default=None,
+                   help="override the top-level coefficient budget")
+    p.add_argument("--tolerance-snr", type=float, default=None,
+                   help="stop encoding a block at this SNR (dB)")
     return p.parse_args()
 
 
@@ -75,6 +83,24 @@ def main():
     if not args.dict_path:
         raise SystemExit("--dict is required for encode/decode")
     mld = MultilevelDictionary.load(args.dict_path)
+    overrides = {}
+    if args.entropy is not None:
+        overrides["entropy"] = args.entropy
+    if args.num_select is not None:
+        overrides["num_select"] = args.num_select
+    if args.tolerance_snr is not None:
+        overrides["tolerance_snr"] = args.tolerance_snr
+    if args.num_coefs is not None:
+        nc = list(mld.config.num_coefs)
+        nc[-1] = args.num_coefs
+        overrides["num_coefs"] = tuple(nc)
+    if overrides:
+        import dataclasses
+
+        from hsc_tpu import MultilevelDictionary as _MLD
+
+        cfg2 = dataclasses.replace(mld.config, **overrides)
+        mld = _MLD(cfg2, mld.dicts)
     codec = CorpusEncoder(
         mld,
         backend=args.backend,
