@@ -47,10 +47,10 @@ def stream_rate(cfg: CodecConfig, level: int, stream: LevelStream) -> RateReport
     n = int(stream.positions.shape[0])
     eb = cfg.event_bits(level)
     if cfg.entropy == "rice":
-        from ..io.bitstream import pack_stream
+        from ..io.bitstream import RICE_HEADER_BYTES, pack_stream
 
         total = len(pack_stream(cfg, level, stream))
-        payload_bits = (total - 10) * 8  # header: level u8, n u32, scale f32, k u8
+        payload_bits = (total - RICE_HEADER_BYTES) * 8
         eb = payload_bits / max(n, 1)
     else:
         payload_bits = n * eb

@@ -90,6 +90,9 @@ def _unpack_bits(data: bytes, n: int, widths: list[int]) -> np.ndarray:
 
 _RICE_ESCAPE = 24  # unary quotients cap; above this, raw pos_bits follow
 
+_RICE_HEAD_FMT = "<BIfB"  # level u8, n u32, scale f32, rice_k u8
+RICE_HEADER_BYTES = struct.calcsize(_RICE_HEAD_FMT)
+
 
 def stream_num_bytes(cfg: CodecConfig, level: int, n_events: int) -> int:
     """Exact serialized size of one 'fixed' stream (header + padded payload).
@@ -142,7 +145,7 @@ def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
         payload = b""
     else:
         payload = np.packbits(np.concatenate(chunks)).tobytes()
-    head = struct.pack("<BIfB", level, n, float(stream.scale), k)
+    head = struct.pack(_RICE_HEAD_FMT, level, n, float(stream.scale), k)
     return head + payload
 
 
@@ -174,8 +177,8 @@ class _BitReader:
 def _unpack_rice(
     cfg: CodecConfig, data: bytes, off: int
 ) -> tuple[int, LevelStream, int]:
-    level, n, scale, k = struct.unpack_from("<BIfB", data, off)
-    off += struct.calcsize("<BIfB")
+    level, n, scale, k = struct.unpack_from(_RICE_HEAD_FMT, data, off)
+    off += RICE_HEADER_BYTES
     ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
     # bound the bit-reader's window by the worst-case stream length so
     # decoding block i of a large corpus does not unpack every later block

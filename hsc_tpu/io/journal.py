@@ -16,15 +16,41 @@ import zlib
 
 
 class EncodeJournal:
-    def __init__(self, directory: str, name: str = "corpus"):
+    def __init__(
+        self, directory: str, name: str = "corpus", config_json: str | None = None
+    ):
         os.makedirs(directory, exist_ok=True)
         self._jpath = os.path.join(directory, f"{name}.journal")
         self._dpath = os.path.join(directory, f"{name}.blocks")
+        self._cpath = os.path.join(directory, f"{name}.config")
         self._index: dict[int, tuple[int, int, int]] = {}  # id -> (off, len, crc)
+        self._check_config(config_json)
         self._load()
         self._data = open(self._dpath, "ab")
         self._journal = open(self._jpath, "a")
         self._reader = open(self._dpath, "rb")
+
+    def _check_config(self, config_json: str | None) -> None:
+        """Journaled payloads are packed under one CodecConfig; resuming into
+        the same directory under a different config would assemble a silently
+        corrupt container (e.g. fixed-width payloads parsed as rice).  The
+        config fingerprint is written on creation and enforced on resume."""
+        if config_json is None:
+            return
+        if os.path.exists(self._cpath):
+            with open(self._cpath) as f:
+                stored = f.read()
+            if stored != config_json:
+                raise ValueError(
+                    f"journal at {os.path.dirname(self._cpath)!r} was created "
+                    "under a different codec config; use a fresh --journal-dir "
+                    f"(journal: {stored!r} vs current: {config_json!r})"
+                )
+        else:
+            with open(self._cpath, "w") as f:
+                f.write(config_json)
+                f.flush()
+                os.fsync(f.fileno())
 
     def _load(self) -> None:
         if not (os.path.exists(self._jpath) and os.path.exists(self._dpath)):

@@ -1,13 +1,16 @@
 """ctypes bindings for the native C++ bit packer (native/bitpack.cpp).
 
-Compiled on demand with g++ (cached as native/libhscbitpack.so); every call
-site falls back to the vectorized-NumPy packer when the toolchain or library
-is unavailable (set HSC_TPU_NO_NATIVE=1 to force the fallback).
+Compiled on demand with g++.  The build cache is keyed on a hash of the
+source (native/libhscbitpack-<hash>.so), so a stale or foreign binary can
+never shadow a changed bitpack.cpp — mtimes are meaningless after a git
+checkout.  Every call site falls back to the vectorized-NumPy packer when the
+toolchain is unavailable (set HSC_TPU_NO_NATIVE=1 to force the fallback).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,10 +18,17 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "bitpack.cpp"))
-_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libhscbitpack.so"))
 
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.abspath(
+        os.path.join(_NATIVE_DIR, f"libhscbitpack-{digest}.so")
+    )
 
 
 def _load():
@@ -29,14 +39,15 @@ def _load():
     if os.environ.get("HSC_TPU_NO_NATIVE"):
         return None
     try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        path = _lib_path()
+        if not os.path.exists(path):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", path, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(path)
         lib.hsc_pack_events.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,

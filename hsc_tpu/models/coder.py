@@ -127,9 +127,11 @@ class ConvolutionalMatchingPursuit:
         if xs.ndim == 2:
             xs = xs[:, :, None]
         if self.backend.startswith("pallas"):
-            from ..ops.mp_kernels import mp_encode_pallas
+            from ..ops.mp_kernels import mp_encode_pallas, pallas_fold
 
-            try:
+            npos = xs.shape[1] - self.bank.shape[1] + 1
+            fold = pallas_fold(npos, int(self.bank.shape[1]))
+            if self.settings["num_select"] in (1, fold):
                 return mp_encode_pallas(
                     xs,
                     self.bank,
@@ -137,8 +139,8 @@ class ConvolutionalMatchingPursuit:
                     interpret=self.backend == "pallas_interpret",
                     **self.settings,
                 )
-            except ValueError:
-                pass  # num_select incompatible with this shape's fold -> XLA
+            # num_select incompatible with this geometry's fold -> XLA
+            # multi-select path (same emitted stream)
         scores0, e0, peak = encode_init_batched(xs, self.bank)
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
         return self._batched_loop(

@@ -47,6 +47,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pallas_fold(npos: int, w: int) -> int:
+    """Fold factor (sublane rows of the selection cache) the fused kernel
+    uses for a given (npos, w) geometry: the largest power of two <= 8 whose
+    folded row length still covers one update chunk.  Multi-select sweeps in
+    the kernel require ``num_select in (1, pallas_fold(npos, w))`` — callers
+    check this precondition and route other S to the XLA multi-select path."""
+    lag = 2 * w - 1
+    cw = _round_up(128 + lag, 128)
+    fold = 8
+    while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
+        fold //= 2
+    return fold
+
+
 def _mp_kernel(
     # inputs (full arrays; grid programs index their own rows via program_id)
     e0_ref,  # [B, 1] f32 SMEM
@@ -382,14 +396,11 @@ def _mp_pallas_stage(
     npos_pad = _round_up(npos, 128)
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)
-    # largest fold (sublane rows of the selection cache) whose row length
-    # still covers one update chunk
-    fold = 8
-    while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
-        fold //= 2
+    fold = pallas_fold(npos, w)
     if num_select not in (1, fold):
         # the fused sweep requires segments == selection-cache rows; callers
-        # fall back to the XLA multi-select path for other S
+        # fall back to the XLA multi-select path for other S (check
+        # `pallas_fold` before calling to avoid the exception)
         raise ValueError(
             f"pallas num_select must be 1 or the fold factor ({fold})"
         )

@@ -44,7 +44,9 @@ class CorpusEncoder:
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
         self.batch_size = int(batch_size)
         self.journal = (
-            EncodeJournal(journal_dir) if journal_dir is not None else None
+            EncodeJournal(journal_dir, config_json=self.cfg.to_json())
+            if journal_dir is not None
+            else None
         )
         self.metrics = MetricsLogger(metrics_path, process_index)
         self.dp = None
@@ -65,6 +67,10 @@ class CorpusEncoder:
         """Encode ``[B, block_size]`` into the container format; resumable —
         journaled blocks are skipped on restart."""
         blocks = np.asarray(blocks, dtype=np.float32)
+        if blocks.ndim != 2 or blocks.shape[1] != self.cfg.block_size:
+            raise ValueError(
+                f"blocks must be [B, {self.cfg.block_size}]; got {blocks.shape}"
+            )
         nb = blocks.shape[0]
         done = self.journal.done_blocks if self.journal else set()
         todo = [b for b in range(nb) if b not in done]

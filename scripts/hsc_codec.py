@@ -63,6 +63,9 @@ def main():
     from hsc_tpu.analysis import corpus_rates
     from hsc_tpu.io import unpack_corpus
     from hsc_tpu.runtime import CorpusEncoder
+    from hsc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # remote TPU compiles cost minutes; reuse them
 
     if args.command == "info":
         with open(args.input, "rb") as f:

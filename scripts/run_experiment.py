@@ -69,7 +69,10 @@ def main():
     from hsc_tpu.learn import MultilevelTrainer
     from hsc_tpu.runtime import CorpusEncoder
     from hsc_tpu.utils import snr_db
+    from hsc_tpu.utils.cache import enable_compilation_cache
     from hsc_tpu.utils.profiling import profile_region
+
+    enable_compilation_cache()
 
     os.makedirs(args.outdir, exist_ok=True)
     counts = tuple(int(x) for x in args.counts.split(","))

@@ -44,6 +44,44 @@ def test_journal_ignores_torn_tail(tmp_path):
     j2.close()
 
 
+def test_journal_config_fingerprint(tmp_path):
+    """Resuming a journal under a different codec config must be refused —
+    mixed-config payloads would assemble a silently corrupt container."""
+    j = EncodeJournal(str(tmp_path), config_json='{"entropy":"fixed"}')
+    j.record(0, b"ok")
+    j.close()
+    # same config resumes fine
+    j2 = EncodeJournal(str(tmp_path), config_json='{"entropy":"fixed"}')
+    assert j2.done_blocks == {0}
+    j2.close()
+    with pytest.raises(ValueError, match="different codec config"):
+        EncodeJournal(str(tmp_path), config_json='{"entropy":"rice"}')
+    # legacy journals without a fingerprint still open
+    (tmp_path / "corpus.config").unlink()
+    j3 = EncodeJournal(str(tmp_path), config_json='{"entropy":"rice"}')
+    assert j3.done_blocks == {0}
+    j3.close()
+
+
+def test_corpus_encoder_rejects_wrong_block_size(mld1):
+    enc = CorpusEncoder(mld1, backend="jax")
+    bad = np.zeros((2, mld1.config.block_size + 1), np.float32)
+    with pytest.raises(ValueError, match="blocks must be"):
+        enc.encode(bad)
+
+
+def test_corpus_encoder_journal_config_guard(tmp_path, mld1):
+    """CorpusEncoder wires its config into the journal fingerprint."""
+    import dataclasses
+
+    enc = CorpusEncoder(mld1, backend="jax", journal_dir=str(tmp_path / "j"))
+    enc.encode(np.zeros((1, mld1.config.block_size), np.float32))
+    cfg2 = dataclasses.replace(mld1.config, entropy="rice")
+    mld2 = type(mld1)(cfg2, [d.copy() for d in mld1.dicts])
+    with pytest.raises(ValueError, match="different codec config"):
+        CorpusEncoder(mld2, backend="jax", journal_dir=str(tmp_path / "j"))
+
+
 def test_metrics_logger(tmp_path):
     p = str(tmp_path / "m.jsonl")
     m = MetricsLogger(p)
