@@ -13,6 +13,8 @@ from .mp import (
     hierarchical_encode,
     hierarchical_decode,
     feature_map_from_events,
+    to_distributed,
+    to_top_level,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "hierarchical_encode",
     "hierarchical_decode",
     "feature_map_from_events",
+    "to_distributed",
+    "to_top_level",
 ]

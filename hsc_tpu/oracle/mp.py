@@ -321,6 +321,117 @@ def hierarchical_encode(
     return streams
 
 
+def to_distributed(
+    cfg, top_stream: LevelStream, level: int | None = None
+) -> list[tuple[int, LevelStream]]:
+    """Convert a top-level-only stream to the distributed representation
+    (SURVEY.md §2 C6: `hsc/modeling.py :: HierarchicalConvolutionalMatchingPursuit`
+    converts between distributed and top-level-only representations).
+
+    A top-level event whose atom is a singleton *is* a lower-level event: the
+    singleton filter at level k (unit delta at offset 0, channel s) placed at
+    position p contributes exactly ``amplitude * representation_{k-1}[s]`` at
+    sample p — so the event can be stored at level k-1 as (p, s, code) with
+    identical decoded contribution.  Demotion repeats through singleton
+    chains until the atom is raw at its level (level-0 atoms are all raw).
+
+    Returns (level, stream) pairs for non-empty levels, ascending; every
+    stream keeps the top stream's quantizer scale, and events preserve their
+    original relative order (stable partition), so decode — per-level
+    stream-order adds, levels in container order — is deterministic.
+    Positions are unchanged and always representable (num_positions grows
+    downward).  Rate effect: demoted events pay the (smaller) lower-level
+    atom_bits; containers are never larger in payload.
+    """
+    if level is None:
+        level = cfg.num_levels - 1
+    n = int(top_stream.positions.shape[0])
+    levels = np.full(n, level, np.int32)
+    atoms = top_stream.atoms.astype(np.int32).copy()
+    for i in range(n):
+        lv, a = int(levels[i]), int(atoms[i])
+        while lv > 0 and a >= cfg.counts[lv]:
+            a -= cfg.counts[lv]
+            lv -= 1
+        levels[i], atoms[i] = lv, a
+    out = []
+    for lv in range(level + 1):
+        sel = np.nonzero(levels == lv)[0]
+        if sel.size == 0:
+            continue
+        out.append(
+            (
+                lv,
+                LevelStream(
+                    positions=top_stream.positions[sel].astype(np.int32),
+                    atoms=atoms[sel],
+                    codes=top_stream.codes[sel].astype(np.int32),
+                    scale=np.float32(top_stream.scale),
+                    energy0=float(top_stream.energy0) if lv == level else 0.0,
+                    energy_res=float(top_stream.energy_res) if lv == level else 0.0,
+                ),
+            )
+        )
+    return out
+
+
+def to_top_level(
+    cfg, streams: list[tuple[int, LevelStream]], level: int | None = None
+) -> LevelStream:
+    """Inverse of `to_distributed`: promote every event to `level` through
+    singleton chains (atom at level k -> singleton index counts[k+1] + atom at
+    level k+1, position unchanged).
+
+    Promotion requires the position to remain a valid placement at each
+    higher level (num_positions shrinks upward); encoder-emitted streams
+    always satisfy this (they originated at the top), but arbitrary lower
+    events near the block tail may not — those raise ValueError.  All streams
+    must share one quantizer scale (one scale field per packed stream).
+
+    The merge order is (source level ascending, then source stream order) —
+    the same event multiset as the original top stream after a demote
+    round-trip, but not necessarily the same interleaving (demotion is a
+    stable *partition*; the cross-level interleaving is not stored).
+    """
+    if level is None:
+        level = cfg.num_levels - 1
+    if not streams:
+        return LevelStream(
+            positions=np.zeros(0, np.int32), atoms=np.zeros(0, np.int32),
+            codes=np.zeros(0, np.int32), scale=np.float32(0),
+            energy0=0.0, energy_res=0.0,
+        )
+    scales = {float(s.scale) for _, s in streams if s.positions.shape[0]}
+    if len(scales) > 1:
+        raise ValueError(f"streams carry different quantizer scales: {scales}")
+    parts = []  # (orig_level, index_within_stream, pos, atom, code)
+    for lv, s in streams:
+        if lv > level:
+            raise ValueError(f"stream level {lv} above target {level}")
+        for i in range(s.positions.shape[0]):
+            a = int(s.atoms[i])
+            p = int(s.positions[i])
+            for up in range(lv + 1, level + 1):
+                if p >= cfg.num_positions(up):
+                    raise ValueError(
+                        f"event at position {p} (level {lv}) has no singleton "
+                        f"placement at level {up}"
+                    )
+                a = cfg.counts[up] + a
+            parts.append((lv, i, p, a, int(s.codes[i])))
+    # deterministic merge: ascending source level, then source order
+    parts.sort(key=lambda t: (t[0], t[1]))
+    top = next((s for lv, s in streams if lv == level), streams[-1][1])
+    return LevelStream(
+        positions=np.asarray([p for _, _, p, _, _ in parts], np.int32),
+        atoms=np.asarray([a for _, _, _, a, _ in parts], np.int32),
+        codes=np.asarray([c for _, _, _, _, c in parts], np.int32),
+        scale=np.float32(streams[0][1].scale if not scales else list(scales)[0]),
+        energy0=float(top.energy0),
+        energy_res=float(top.energy_res),
+    )
+
+
 def hierarchical_decode(
     top_stream: LevelStream, mld: MultilevelDictionary, level: int | None = None
 ) -> np.ndarray:

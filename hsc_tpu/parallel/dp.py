@@ -126,6 +126,13 @@ class DataParallelEncoder:
         host = jax.device_get(enc)  # gathers shards in block order
         return EncodedBlock(*(np.asarray(v)[:b] for v in host))
 
+    def encode_device(self, arr: jax.Array) -> EncodedBlock:
+        """Sharded-in, sharded-out encode of an already-placed ``[B, N, C]``
+        device array (B a multiple of the shard count).  Building block for
+        the hierarchical DP pipeline, where the inter-level hand-off must stay
+        on device."""
+        return self._run(arr)
+
     def encode_multihost(self, local_blocks: np.ndarray, n_global: int) -> EncodedBlock:
         """Multi-host SPMD encode (SURVEY.md §2.3 P9): every process passes
         its host-local slice of the corpus (deterministic block->host
@@ -161,3 +168,68 @@ class DataParallelEncoder:
         enc = self._loop(scores0, e0, scale_d, inv_d, self.mp.bank, self.mp.gram_t)
         host = multihost_utils.process_allgather(enc, tiled=True)
         return EncodedBlock(*(np.asarray(v)[:n_global] for v in host))
+
+
+class HierarchicalDataParallelEncoder:
+    """Data-parallel *hierarchical* corpus encode (SURVEY.md §2.3 P1 + §3.4).
+
+    Every level's three-stage encode (sharded init -> host quantizer steps ->
+    sharded greedy loop) runs under the mesh on its block shard, and the
+    quantized feature-map hand-off between levels stays sharded on device —
+    no gather until all levels finish.  Per-block math is identical to the
+    local `HierarchicalConvolutionalSparseCoder.encode_batch` (same init
+    executables, same loop jits), so emitted streams are byte-identical."""
+
+    def __init__(self, mesh: Mesh, coder, axis: str = "data"):
+        # coder: models.coder.HierarchicalConvolutionalSparseCoder
+        self.mesh = mesh
+        self.coder = coder
+        self.cfg = coder.cfg
+        self.axis = axis
+        self.levels = [
+            DataParallelEncoder(mesh, c.mp, axis=axis) for c in coder.coders
+        ]
+        self._fmap: dict[int, object] = {}
+
+    @property
+    def num_shards(self) -> int:
+        return self.levels[0].num_shards
+
+    def _feature_map(self, level: int, enc: EncodedBlock) -> jax.Array:
+        """Sharded [B, npos, k] hand-off map; blocks are independent so the
+        vmap keeps the batch sharding with no collectives."""
+        if level not in self._fmap:
+            from ..ops.encode import feature_map_jax
+
+            self._fmap[level] = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        feature_map_jax,
+                        npos=self.cfg.num_positions(level),
+                        k=self.coder.mld.num_atoms(level),
+                    )
+                )
+            )
+        return self._fmap[level](enc)
+
+    def encode(self, xs: np.ndarray) -> list[EncodedBlock]:
+        """Encode ``[B, block_size]`` blocks; returns one batched (host)
+        EncodedBlock per level, trimmed to the original block count."""
+        xs = np.asarray(xs, dtype=np.float32)
+        if xs.ndim == 2:
+            xs = xs[:, :, None]
+        padded, b = self.levels[0].pad_batch(xs)
+        arr = jax.device_put(
+            jnp.asarray(padded), self.levels[0]._data_sharding
+        )
+        encs: list[EncodedBlock] = []
+        for level, dp in enumerate(self.levels):
+            enc = dp.encode_device(arr)
+            encs.append(enc)
+            if level + 1 < self.cfg.num_levels:
+                arr = self._feature_map(level, enc)
+        out = []
+        for enc in encs:
+            host = jax.device_get(enc)  # gathers shards in block order
+            out.append(EncodedBlock(*(np.asarray(v)[:b] for v in host)))
+        return out

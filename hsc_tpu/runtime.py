@@ -35,32 +35,48 @@ class CorpusEncoder:
         process_index: int = 0,
         mesh=None,
         mesh_axis: str = "data",
+        distributed: bool = False,
     ):
         # mesh: shard encode batches over mesh_axis (data parallelism,
-        # parallel/dp.py); single-level corpora only for now (the hierarchy's
-        # upper levels run batched on the default device placement).
+        # parallel/dp.py) — every level of the hierarchy runs under the mesh,
+        # with the feature-map hand-off staying sharded on device.
+        # distributed: emit the distributed representation (each event stored
+        # at the level where its atom is raw — oracle.mp.to_distributed)
+        # instead of the top-level-only stream.
         self.mld = mld
         self.cfg: CodecConfig = mld.config
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
         self.batch_size = int(batch_size)
+        self.distributed = bool(distributed)
         self.journal = (
-            EncodeJournal(journal_dir, config_json=self.cfg.to_json())
+            EncodeJournal(
+                journal_dir,
+                config_json=self.cfg.to_json()
+                + (":distributed" if self.distributed else ""),
+            )
             if journal_dir is not None
             else None
         )
         self.metrics = MetricsLogger(metrics_path, process_index)
         self.dp = None
-        if mesh is not None and self.cfg.num_levels == 1:
-            from .parallel.dp import DataParallelEncoder
+        if mesh is not None:
+            from .parallel.dp import HierarchicalDataParallelEncoder
 
-            self.dp = DataParallelEncoder(
-                mesh, self.coder.coders[0].mp, axis=mesh_axis
+            self.dp = HierarchicalDataParallelEncoder(
+                mesh, self.coder, axis=mesh_axis
             )
 
     # -- encode -------------------------------------------------------------
 
     def _pack_block(self, top_stream) -> bytes:
         top = self.cfg.num_levels - 1
+        if self.distributed and self.cfg.num_levels > 1:
+            from .oracle.mp import to_distributed
+
+            parts = to_distributed(self.cfg, top_stream)
+            return struct.pack("<B", len(parts)) + b"".join(
+                pack_stream(self.cfg, level, s) for level, s in parts
+            )
         return struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream)
 
     def encode(self, blocks: np.ndarray) -> bytes:
@@ -130,14 +146,18 @@ class CorpusEncoder:
         self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]
     ) -> None:
         """Mesh-sharded encode: super-batches of batch_size x num_shards
-        blocks through the DataParallelEncoder (original order preserved)."""
+        blocks through the HierarchicalDataParallelEncoder — every level runs
+        under the mesh, hand-off maps stay sharded (original order
+        preserved)."""
         from .oracle.mp import LevelStream
 
+        top = self.cfg.num_levels - 1
         super_batch = self.batch_size * self.dp.num_shards
         for start in range(0, len(todo), super_batch):
             ids = todo[start : start + super_batch]
             t0 = time.perf_counter()
-            enc = self.dp.encode(blocks[ids])
+            encs = self.dp.encode(blocks[ids])
+            enc = encs[top]
             dt = time.perf_counter() - t0
             events = 0
             total_bytes = 0

@@ -45,6 +45,10 @@ def parse_args():
                    help="override the top-level coefficient budget")
     p.add_argument("--tolerance-snr", type=float, default=None,
                    help="stop encoding a block at this SNR (dB)")
+    p.add_argument("--distributed", action="store_true",
+                   help="emit the distributed representation (events stored "
+                   "at the level where their atom is raw) instead of "
+                   "top-level-only streams")
     return p.parse_args()
 
 
@@ -110,6 +114,7 @@ def main():
         batch_size=args.batch_size,
         journal_dir=args.journal_dir,
         metrics_path=args.metrics,
+        distributed=args.distributed,
     )
 
     if args.command == "encode":

@@ -180,3 +180,53 @@ def test_constant_signal(mld1):
     stream = _encode(sig, mld1)
     recon = mp_decode(stream, mld1.augmented(0), mld1.config.block_size)
     assert np.all(np.isfinite(recon))
+
+
+def test_distributed_conversion_roundtrip(mld2, signal2):
+    """to_distributed / to_top_level (SURVEY §2 C6 conversion parity):
+    demotion stores every event at the level where its atom is raw; the
+    promoted merge recovers the exact top event multiset, and per-level
+    decodes sum to the same reconstruction."""
+    from hsc_tpu.oracle import to_distributed, to_top_level
+
+    cfg = mld2.config
+    streams = hierarchical_encode(signal2, mld2)
+    top = streams[-1]
+    parts = to_distributed(cfg, top)
+    assert sum(s.positions.shape[0] for _, s in parts) == top.positions.shape[0]
+    # every demoted atom is raw at its level; all scales match the top scale
+    for level, s in parts:
+        assert np.all(s.atoms < cfg.counts[level]) or level == cfg.num_levels - 1
+        if level < cfg.num_levels - 1:
+            assert np.all(s.atoms < cfg.counts[level])
+        assert np.float32(s.scale) == np.float32(top.scale)
+    merged = to_top_level(cfg, parts)
+    key = lambda s: sorted(zip(s.positions.tolist(), s.atoms.tolist(), s.codes.tolist()))
+    assert key(merged) == key(top)
+    # reconstruction parity: summed per-level decodes == top-only decode
+    recon_top = hierarchical_decode(top, mld2)
+    recon_dist = np.zeros_like(recon_top)
+    for level, s in parts:
+        recon_dist += hierarchical_decode(s, mld2, level=level)
+    assert np.allclose(recon_top, recon_dist, atol=1e-5)
+
+
+def test_to_top_level_rejects_unplaceable_position(mld2):
+    """A lower-level event past the top level's placement range cannot be
+    promoted (the singleton window would overrun the sequence)."""
+    from hsc_tpu.oracle import to_top_level
+    from hsc_tpu.oracle.mp import LevelStream
+
+    cfg = mld2.config
+    bad_pos = cfg.num_positions(1)  # valid at level 0, invalid at level 1
+    assert bad_pos < cfg.num_positions(0)
+    s0 = LevelStream(
+        positions=np.array([bad_pos], np.int32),
+        atoms=np.array([0], np.int32),
+        codes=np.array([5], np.int32),
+        scale=np.float32(0.1),
+        energy0=1.0,
+        energy_res=0.5,
+    )
+    with pytest.raises(ValueError, match="no singleton placement"):
+        to_top_level(cfg, [(0, s0)])

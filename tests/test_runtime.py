@@ -145,6 +145,72 @@ def test_corpus_encoder_with_mesh_matches_local(tmp_path, mld1):
     assert sharded.encode(xs) == local.encode(xs)
 
 
+def test_corpus_encoder_hierarchical_mesh_matches_local(mld2):
+    """Hierarchical (2-level) corpus encode under the mesh: every level's
+    loop and the feature-map hand-off run sharded over 'data'; containers
+    must be byte-identical to the local path (VERDICT r1 #1)."""
+    import numpy as np
+    from hsc_tpu.parallel import make_mesh
+
+    gen = SignalGenerator(
+        mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)]
+    )
+    xs = gen.generate_signals(10, mld2.config.block_size, seed=74)
+    local = CorpusEncoder(mld2, backend="jax", batch_size=4)
+    mesh = make_mesh({"data": 8})
+    sharded = CorpusEncoder(mld2, backend="jax", batch_size=2, mesh=mesh)
+    blob_local = local.encode(xs)
+    assert sharded.encode(xs) == blob_local
+    decoded = local.decode(blob_local)
+    assert decoded.shape == (10, mld2.config.block_size)
+
+
+def test_corpus_encoder_distributed_representation(mld2):
+    """--distributed containers: smaller than top-only at identical decoded
+    output quality; round-trip decodes deterministically (VERDICT r1 #6)."""
+    import numpy as np
+    from hsc_tpu.io import unpack_corpus
+
+    gen = SignalGenerator(
+        mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)]
+    )
+    xs = gen.generate_signals(4, mld2.config.block_size, seed=75)
+    top = CorpusEncoder(mld2, backend="jax", batch_size=2)
+    dist = CorpusEncoder(mld2, backend="jax", batch_size=2, distributed=True)
+    blob_top = top.encode(xs)
+    blob_dist = dist.encode(xs)
+    # distributed blocks carry per-level streams whose events merge back to
+    # the exact top-only event multiset
+    from hsc_tpu.oracle.mp import to_top_level
+
+    cfg_t, blocks_t = unpack_corpus(blob_top)
+    cfg_d, blocks_d = unpack_corpus(blob_dist)
+    assert any(len(streams) > 1 for streams in blocks_d)
+    # demoted events pay the (smaller) lower-level atom_bits: payload bits
+    # strictly shrink whenever any event left the top level (per-stream
+    # header overhead can still dominate at toy scales)
+    bits = lambda blocks: sum(
+        s.positions.shape[0] * cfg_d.event_bits(level)
+        for streams in blocks
+        for level, s in streams
+    )
+    assert bits(blocks_d) < bits(blocks_t)
+    for bt, bd in zip(blocks_t, blocks_d):
+        (lt, st) = bt[0]
+        merged = to_top_level(cfg_d, bd, level=lt)
+        key = lambda s: sorted(
+            zip(s.positions.tolist(), s.atoms.tolist(), s.codes.tolist())
+        )
+        assert key(merged) == key(st)
+    # decoded quality identical (same events, reconstruction order may differ
+    # by float association across levels)
+    dec_top = top.decode(blob_top)
+    dec_dist = dist.decode(blob_dist)
+    assert np.allclose(dec_top, dec_dist, atol=1e-5)
+    # decode of the same distributed container is deterministic
+    assert dist.decode(blob_dist).tobytes() == dec_dist.tobytes()
+
+
 def test_corpus_encoder_rice_roundtrip(mld1):
     """Runtime pipeline under rice entropy: encode -> container -> decode,
     decoded output matches the ordered-decode of the sorted streams."""
