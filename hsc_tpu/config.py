@@ -48,6 +48,18 @@ class CodecConfig:
       entropy: position coding in the stream — 'fixed' (pos_bits per event) or
         'rice' (position-sorted events, Rice/Golomb-coded deltas; typically
         30-50%% smaller streams).  Decode order is stream order either way.
+      decode_mode: reconstruction arithmetic (stream format v2) —
+        'ordered': stream-order float32 overlap-add (the v1 surface; decode is
+        inherently sequential per block);
+        'integer': order-free exact integer reconstruction against
+        rep_bits-quantized atom representations, reduced mod 2^32 — summation
+        order is irrelevant, so decode runs as dense MXU matmuls
+        (`ops.decode.mp_decode_integer_jax`).  Requires
+        ``max(num_coefs) * amp_maxcode < 2^24`` so the dense coefficient map
+        stays exactly representable (enforced below).
+      rep_bits: representation quantizer width for decode_mode='integer'
+        (unsigned magnitude; codes in [-(2^rep_bits - 1), 2^rep_bits - 1]).
+        Max 12 so the plane-split matmuls stay exact (docs/FORMAT.md v2).
     """
 
     counts: tuple[int, ...] = (64,)
@@ -59,6 +71,8 @@ class CodecConfig:
     amp_bits: int = 16
     num_select: int = 1
     entropy: str = "fixed"
+    decode_mode: str = "ordered"
+    rep_bits: int = 12
 
     def __post_init__(self):
         object.__setattr__(self, "counts", tuple(int(c) for c in self.counts))
@@ -76,6 +90,19 @@ class CodecConfig:
             raise ValueError("num_select must be >= 1")
         if self.entropy not in ("fixed", "rice"):
             raise ValueError("entropy must be 'fixed' or 'rice'")
+        if self.decode_mode not in ("ordered", "integer"):
+            raise ValueError("decode_mode must be 'ordered' or 'integer'")
+        if not (2 <= self.rep_bits <= 12):
+            raise ValueError("rep_bits must be in [2, 12]")
+        if self.decode_mode == "integer":
+            # the dense per-(position, atom) code sums must stay exactly
+            # f32-representable for the plane-split MXU matmuls
+            if max(self.num_coefs) * self.amp_maxcode >= (1 << 24):
+                raise ValueError(
+                    "decode_mode='integer' requires max(num_coefs) * "
+                    f"amp_maxcode < 2^24 (got {max(self.num_coefs)} * "
+                    f"{self.amp_maxcode})"
+                )
 
     # ---- derived geometry -------------------------------------------------
 

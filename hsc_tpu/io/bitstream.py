@@ -1,11 +1,11 @@
-"""Bit-packed stream format (v1) — the codec's on-disk contract.
+"""Bit-packed stream format (v2) — the codec's on-disk contract.
 
 The reference's entropy stage is *accounting only* (`hsc/analysis.py ::
 calculateInformationRate(s)` computes bits/s but serializes nothing —
 SURVEY.md §1 note).  BASELINE.json requires a real bitstream with bit-exact
 decode, so this module defines it:
 
-  corpus  := magic "HSCT" | u8 version=1 | u32 cfg_len | cfg JSON | u32 n_blocks
+  corpus  := magic "HSCT" | u8 version=2 | u32 cfg_len | cfg JSON | u32 n_blocks
              | block*
   block   := u8 n_streams | stream*
   stream  := u8 level | u32 n_events | f32 scale | [u8 rice_k] | payload
@@ -25,6 +25,16 @@ Field widths are fully determined by the config in the header, so decode needs
 no out-of-band information.  Packing is vectorized NumPy on the host
 (SURVEY.md §7 H4 — variable-length streams do not fit XLA's static shapes; a
 C++ packer drop-in lives in `native/` if host packing ever bottlenecks).
+
+Version history (docs/FORMAT.md is the full spec):
+  v1 — fixed/rice entropy, ordered float32 decode only.  (Round-1 docs
+       loosely called the rice addition "v2"; the byte written was always 1 —
+       entropy mode lives in the header config JSON, not the version byte.)
+  v2 — header config gains decode_mode ('ordered' | 'integer') and rep_bits;
+       'integer' is the order-free mod-2^32 reconstruction
+       (`oracle.mp.mp_decode_integer`) that decodes on the MXU.  Event
+       payloads are unchanged; v1 containers decode as before (missing
+       config keys default to the v1 behavior).
 """
 
 from __future__ import annotations
@@ -38,7 +48,8 @@ from ..oracle.mp import LevelStream
 from . import native
 
 MAGIC = b"HSCT"
-VERSION = 1
+VERSION = 2
+SUPPORTED_VERSIONS = (1, 2)
 
 
 def _pack_bits(values: np.ndarray, widths: list[int]) -> bytes:
@@ -110,7 +121,11 @@ def _rice_k(cfg: CodecConfig, level: int, n_events: int) -> int:
 
 
 def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
-    """Position-sorted, delta-Rice payload (entropy='rice')."""
+    """Position-sorted, delta-Rice payload (entropy='rice').
+
+    Dispatches to the native C++ coder (`native/bitpack.cpp ::
+    hsc_pack_rice`) when available; the Python loop below is the
+    byte-identical semantic definition."""
     n = int(stream.positions.shape[0])
     k = _rice_k(cfg, level, n)
     order = np.argsort(stream.positions, kind="stable")
@@ -119,6 +134,11 @@ def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
     amp = (stream.codes[order].astype(np.int64) + cfg.amp_maxcode).astype(np.uint64)
     deltas = np.diff(pos, prepend=0)
     ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
+
+    head = struct.pack(_RICE_HEAD_FMT, level, n, float(stream.scale), k)
+    payload_native = native.pack_rice(pos, atm, amp, k, _RICE_ESCAPE, pb, ab, cb)
+    if payload_native is not None:
+        return head + payload_native
 
     chunks: list[np.ndarray] = []
 
@@ -145,7 +165,6 @@ def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
         payload = b""
     else:
         payload = np.packbits(np.concatenate(chunks)).tobytes()
-    head = struct.pack(_RICE_HEAD_FMT, level, n, float(stream.scale), k)
     return head + payload
 
 
@@ -183,6 +202,16 @@ def _unpack_rice(
     # bound the bit-reader's window by the worst-case stream length so
     # decoding block i of a large corpus does not unpack every later block
     max_bits = n * (_RICE_ESCAPE + pb + ab + cb)
+    window = data[off : off + (max_bits + 7) // 8 + 1]
+    decoded = native.unpack_rice(window, n, k, _RICE_ESCAPE, pb, ab, cb)
+    if decoded is not None:
+        vals, consumed = decoded
+        return level, LevelStream(
+            positions=vals[:, 0].astype(np.int32),
+            atoms=vals[:, 1].astype(np.int32),
+            codes=(vals[:, 2].astype(np.int64) - cfg.amp_maxcode).astype(np.int32),
+            scale=np.float32(scale), energy0=0.0, energy_res=0.0,
+        ), off + consumed
     rd = _BitReader(data[: off + (max_bits + 7) // 8 + 1], off)
     positions = np.zeros(n, np.int32)
     atoms = np.zeros(n, np.int32)
@@ -260,7 +289,7 @@ def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelS
     if data[:4] != MAGIC:
         raise ValueError("bad magic")
     version, cfg_len = struct.unpack_from("<BI", data, 4)
-    if version != VERSION:
+    if version not in SUPPORTED_VERSIONS:
         raise ValueError(f"unsupported version {version}")
     off = 4 + struct.calcsize("<BI")
     cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())

@@ -58,6 +58,19 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.hsc_pack_rice.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.hsc_pack_rice.restype = ctypes.c_int64
+        lib.hsc_unpack_rice.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.hsc_unpack_rice.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -87,6 +100,66 @@ def pack_events(values: np.ndarray, widths: list[int]) -> bytes | None:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
     return out.tobytes()
+
+
+def pack_rice(
+    pos: np.ndarray,
+    atoms: np.ndarray,
+    amps: np.ndarray,
+    k: int,
+    escape: int,
+    pb: int,
+    ab: int,
+    cb: int,
+) -> bytes | None:
+    """Native Rice payload pack (events pre-sorted by position); None if the
+    native library is unavailable.  Byte-identical to bitstream._pack_rice's
+    Python loop (the semantic definition)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(pos.shape[0])
+    out = np.zeros((n * (escape + pb + ab + cb) + 7) // 8 + 1, dtype=np.uint8)
+    if n == 0:
+        return b""
+    p = np.ascontiguousarray(pos, dtype=np.int64)
+    at = np.ascontiguousarray(atoms, dtype=np.uint64)
+    am = np.ascontiguousarray(amps, dtype=np.uint64)
+    nbytes = lib.hsc_pack_rice(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        at.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        am.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(k), ctypes.c_int32(escape),
+        ctypes.c_int32(pb), ctypes.c_int32(ab), ctypes.c_int32(cb),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:nbytes].tobytes()
+
+
+def unpack_rice(
+    data: bytes, n: int, k: int, escape: int, pb: int, ab: int, cb: int
+) -> tuple[np.ndarray, int] | None:
+    """Native Rice payload unpack -> (vals [n, 3] uint64 of (absolute
+    position, atom, raw amplitude), consumed bytes); None if unavailable.
+    Raises ValueError on a truncated buffer."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.zeros((n, 3), dtype=np.uint64)
+    if n == 0:
+        return vals, 0
+    buf = np.frombuffer(data, dtype=np.uint8)
+    consumed = lib.hsc_unpack_rice(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.shape[0]), ctypes.c_int64(n),
+        ctypes.c_int32(k), ctypes.c_int32(escape),
+        ctypes.c_int32(pb), ctypes.c_int32(ab), ctypes.c_int32(cb),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if consumed < 0:
+        raise ValueError("rice payload truncated")
+    return vals, int(consumed)
 
 
 def unpack_events(data: bytes, n: int, widths: list[int]) -> np.ndarray | None:

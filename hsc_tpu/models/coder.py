@@ -24,7 +24,12 @@ import jax.numpy as jnp
 
 from ..dictionary import MultilevelDictionary
 from ..io import pack_corpus, unpack_corpus
-from ..ops.decode import mp_decode_batch_jax, mp_decode_jax
+from ..ops.decode import (
+    mp_decode_batch_jax,
+    mp_decode_integer_batch_jax,
+    mp_decode_integer_jax,
+    mp_decode_jax,
+)
 from ..ops.encode import (
     EncodedBlock,
     batched_loop_for,
@@ -225,7 +230,22 @@ class HierarchicalConvolutionalSparseCoder:
         self._rep_banks = {
             k: jnp.asarray(mld.representations(k)[:, :, None]) for k in range(top + 1)
         }
+        # quantized representation banks for decode_mode='integer', cached
+        # per (level, rep_bits) — streams are self-describing, so a decoder
+        # may need a rep_bits different from this dictionary's config
+        self._rep_q_banks: dict[tuple[int, int], tuple[jax.Array, np.float32]] = {}
         self._fmap_batched = {}
+
+    def _rep_q(self, level: int, rep_bits: int):
+        key = (level, int(rep_bits))
+        if key not in self._rep_q_banks:
+            from ..oracle.mp import rep_quantize
+
+            q, step = rep_quantize(
+                self.mld.representations(level)[:, :, None], rep_bits
+            )
+            self._rep_q_banks[key] = (jnp.asarray(q), step)
+        return self._rep_q_banks[key]
 
     # -- encode ------------------------------------------------------------
 
@@ -295,33 +315,64 @@ class HierarchicalConvolutionalSparseCoder:
 
     # -- decode ------------------------------------------------------------
 
-    def reconstruct(self, top_stream: LevelStream, level: int | None = None) -> np.ndarray:
+    def reconstruct(
+        self,
+        top_stream: LevelStream,
+        level: int | None = None,
+        mode: str | None = None,
+        rep_bits: int | None = None,
+    ) -> np.ndarray:
         """Signal-space reconstruction of a top-level stream (the bit-exact
-        surface; equals `hsc_tpu.oracle.hierarchical_decode`)."""
+        surface; equals `hsc_tpu.oracle.hierarchical_decode` for
+        mode='ordered', `oracle.mp.mp_decode_integer` for mode='integer').
+
+        `mode`/`rep_bits` default to this dictionary's config; decoders of
+        self-describing streams pass the stream header's values."""
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
+        if mode is None:
+            mode = cfg.decode_mode
         cap = max(cfg.num_coefs[level], 1, int(top_stream.positions.shape[0]))
         pos, atm, cds, count = _pad_stream(top_stream, cap)
-        out = mp_decode_jax(
-            jnp.asarray(pos),
-            jnp.asarray(atm),
-            jnp.asarray(cds),
-            jnp.int32(count),
-            jnp.float32(top_stream.scale),
-            self._rep_banks[level],
-            n=cfg.block_size,
-        )
+        if mode == "integer":
+            rep_q, step = self._rep_q(level, rep_bits or cfg.rep_bits)
+            amp_step = np.float32(np.float32(top_stream.scale) * step)
+            out = mp_decode_integer_jax(
+                jnp.asarray(pos),
+                jnp.asarray(atm),
+                jnp.asarray(cds),
+                jnp.int32(count),
+                jnp.float32(amp_step),
+                rep_q,
+                n=cfg.block_size,
+            )
+        else:
+            out = mp_decode_jax(
+                jnp.asarray(pos),
+                jnp.asarray(atm),
+                jnp.asarray(cds),
+                jnp.int32(count),
+                jnp.float32(top_stream.scale),
+                self._rep_banks[level],
+                n=cfg.block_size,
+            )
         return np.asarray(out)[:, 0]
 
     def reconstruct_batch(
-        self, streams: list[LevelStream], level: int | None = None
+        self,
+        streams: list[LevelStream],
+        level: int | None = None,
+        mode: str | None = None,
+        rep_bits: int | None = None,
     ) -> np.ndarray:
         """Batched reconstruction ``[B, block_size]`` — one jit'd vmap, per
         block byte-identical to `reconstruct`."""
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
+        if mode is None:
+            mode = cfg.decode_mode
         cap = max(
             [cfg.num_coefs[level], 1]
             + [int(s.positions.shape[0]) for s in streams]
@@ -336,6 +387,15 @@ class HierarchicalConvolutionalSparseCoder:
             p, a, c, n = _pad_stream(s, cap)
             pos[b], atm[b], cds[b], cnt[b] = p, a, c, n
             scl[b] = np.float32(s.scale)
+        if mode == "integer":
+            rep_q, step = self._rep_q(level, rep_bits or cfg.rep_bits)
+            amp_step = (scl * np.float32(step)).astype(np.float32)
+            out = mp_decode_integer_batch_jax(
+                jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+                jnp.asarray(cnt), jnp.asarray(amp_step), rep_q,
+                n=cfg.block_size,
+            )
+            return np.asarray(out)[:, :, 0]
         args = (
             jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
             jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],

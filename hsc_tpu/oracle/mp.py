@@ -270,6 +270,65 @@ def mp_decode(stream: LevelStream, bank: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def rep_quantize(bank: np.ndarray, rep_bits: int) -> tuple[np.ndarray, np.float32]:
+    """Quantize a representation bank for decode_mode='integer' (format v2).
+
+    Host-side IEEE float32, same round-half-away-from-zero convention as the
+    amplitude quantizer (`mp_encode`): with ``maxcode = 2^rep_bits - 1`` and
+    ``peak = max|bank|``, ``step = f32(peak / maxcode)``,
+    ``inv = f32(maxcode / peak)``, each value maps to
+    ``sign(v) * floor(|f32(v * inv)| + 0.5)`` clipped to ±maxcode.
+
+    Returns (rep_q int32 same shape, step float32).  Deterministic from the
+    dictionary bytes alone — encoder and decoder derive identical rep_q.
+    """
+    bank = np.asarray(bank, dtype=np.float32)
+    maxcode = np.float32((1 << rep_bits) - 1)
+    peak = np.float32(np.max(np.abs(bank))) if bank.size else np.float32(0)
+    if not peak > 0:
+        return np.zeros(bank.shape, np.int32), np.float32(0)
+    step = np.float32(peak / maxcode)
+    inv = np.float32(maxcode / peak)
+    y = (bank * inv).astype(np.float32)
+    r = np.floor(np.abs(y) + np.float32(0.5)).astype(np.float32) * np.sign(y)
+    q = np.clip(r, -maxcode, maxcode).astype(np.int32)
+    return q, step
+
+
+def _wrap_int32(acc: np.ndarray) -> np.ndarray:
+    """Reduce exact integer sums mod 2^32 into signed int32 (the spec's
+    wraparound semantics — a ring homomorphism, so any backend's sequence of
+    int32 adds/multiplies produces the same values)."""
+    return (
+        ((acc.astype(np.int64) + (1 << 31)) % (1 << 32)) - (1 << 31)
+    ).astype(np.int32)
+
+
+def mp_decode_integer(
+    stream: LevelStream, rep_q: np.ndarray, step: np.float32, n: int
+) -> np.ndarray:
+    """Order-free integer reconstruction (decode_mode='integer', format v2).
+
+    Spec: ``out_int[t] = sum_i codes[i] * rep_q[atoms[i]][t - positions[i]]``
+    accumulated as exact integers and reduced mod 2^32 (int32 wraparound);
+    ``out = f32(out_int) * amp_step`` with ``amp_step = f32(f32(scale) * step)``.
+    Modular integer addition is associative and commutative, so summation
+    order is irrelevant — the TPU decoder runs this as dense plane-split MXU
+    matmuls (`ops.decode.mp_decode_integer_jax`) and produces identical
+    bytes.  With the config bound ``max(num_coefs) * amp_maxcode < 2^24`` and
+    ``rep_bits <= 12`` no wraparound occurs on realistic streams; the mod is
+    the deterministic overflow semantics, not an expected path.
+    """
+    k, w, c = rep_q.shape
+    acc = np.zeros((n, c), dtype=np.int64)
+    for i in range(stream.positions.shape[0]):
+        t = int(stream.positions[i])
+        f = int(stream.atoms[i])
+        acc[t : t + w, :] += int(stream.codes[i]) * rep_q[f].astype(np.int64)
+    amp_step = np.float32(np.float32(stream.scale) * np.float32(step))
+    return (_wrap_int32(acc).astype(np.float32) * amp_step).astype(np.float32)
+
+
 def feature_map_from_events(stream: LevelStream, npos: int, k: int) -> np.ndarray:
     """Dense coefficient map ``[Npos, K]`` from events (stream-order adds).
 

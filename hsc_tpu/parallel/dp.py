@@ -133,12 +133,25 @@ class DataParallelEncoder:
         on device."""
         return self._run(arr)
 
+    @staticmethod
+    def multihost_split(n_global: int, n_processes: int) -> list[tuple[int, int]]:
+        """Canonical deterministic block->process assignment: with
+        ``nl = ceil(n_global / P)``, process p owns global blocks
+        [p*nl, min((p+1)*nl, n_global)).  Every process pads its shard to nl
+        blocks, so per-device shard sizes stay uniform (SPMD requirement)
+        even when the corpus does not divide evenly — the ragged tail is
+        zero-padded and dropped after gather."""
+        nl = -(-n_global // max(n_processes, 1))
+        return [
+            (p * nl, min((p + 1) * nl, n_global)) for p in range(n_processes)
+        ]
+
     def encode_multihost(self, local_blocks: np.ndarray, n_global: int) -> EncodedBlock:
         """Multi-host SPMD encode (SURVEY.md §2.3 P9): every process passes
-        its host-local slice of the corpus (deterministic block->host
-        assignment: process p owns blocks [p*n_local, (p+1)*n_local)); the
-        padded results are allgathered so every host sees the full corpus in
-        original block order (process 0 packs the container).
+        its host-local slice of the corpus per `multihost_split` (ragged
+        tails allowed — shards are padded to the uniform per-process count);
+        the padded results are allgathered so every host sees the full corpus
+        in original block order (process 0 packs the container).
 
         Single-process this degenerates to `encode`.
         """
@@ -149,6 +162,18 @@ class DataParallelEncoder:
             return self.encode(local_blocks[:n_global])
         from jax.experimental import multihost_utils
 
+        p = jax.process_index()
+        lo, hi = self.multihost_split(n_global, jax.process_count())[p]
+        if local_blocks.shape[0] != hi - lo:
+            raise ValueError(
+                f"process {p} must pass blocks [{lo}, {hi}) "
+                f"({hi - lo} blocks); got {local_blocks.shape[0]}"
+            )
+        nl = -(-n_global // jax.process_count())
+        if local_blocks.shape[0] < nl:  # ragged tail: zero-pad to uniform
+            pad = np.zeros((nl - local_blocks.shape[0],) + local_blocks.shape[1:],
+                           local_blocks.dtype)
+            local_blocks = np.concatenate([local_blocks, pad])
         arr = jax.make_array_from_process_local_data(
             self._data_sharding, local_blocks
         )
@@ -157,8 +182,7 @@ class DataParallelEncoder:
         scale, inv = quantizer_steps(
             np.asarray(peak_global), self.mp.settings["amp_bits"]
         )
-        nl = local_blocks.shape[0]
-        p0 = jax.process_index() * nl
+        p0 = p * nl
         scale_d = jax.make_array_from_process_local_data(
             self._vec_sharding, scale[p0 : p0 + nl]
         )

@@ -44,17 +44,24 @@ def sp_encode(
     tolerance_snr: float | None = None,
     singleton_weight: float = 1.0,
     n_raw: int | None = None,
+    num_select: int = 1,
     axis: str = "seq",
 ) -> EncodedBlock:
     """Encode ONE block ``x [N, C]`` sharded along time over `axis`.
 
     Emits the same stream as the single-device encoder given identical
     correlation values (the greedy loop arithmetic is replicated bit-for-bit;
-    every shard returns identical event buffers).  Caveat: with
-    `tolerance_snr` set, e0 is a psum of per-shard partial sums whose float32
-    value can differ from the single-device sum by ulps, so the SNR stop can
-    trigger one event earlier/later than the single-device encoder near the
-    threshold; the emitted stream is still a valid spec stream.
+    every shard returns identical event buffers).  `num_select > 1` runs the
+    spec's multi-select sweeps (reference `nbBlocks`; see
+    `oracle.mp.mp_encode`): candidates come from the sweep-start colmax
+    snapshot, one per contiguous position segment, accepted left-to-right
+    under the 2W-1 interference guard — segments may span shards, so each
+    segment runs the same pmax/pmin/psum selection collectives as a plain
+    iteration.  Caveat: with `tolerance_snr` set, e0 is a psum of per-shard
+    partial sums whose float32 value can differ from the single-device sum by
+    ulps, so the SNR stop can trigger one event earlier/later than the
+    single-device encoder near the threshold; the emitted stream is still a
+    valid spec stream.
     """
     k, w, c = bank.shape
     if n_raw is None:
@@ -71,6 +78,10 @@ def sp_encode(
         raise ValueError(f"shard length {l} must be >= 2*W={2*w}")
     npos_total = n - w + 1
     lag = 2 * w - 1
+    # spec segment length for multi-select sweeps (oracle.mp.mp_encode)
+    seg_len = (
+        128 * (-(-npos_total // (128 * num_select))) if num_select > 1 else 0
+    )
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
@@ -173,13 +184,26 @@ def sp_encode(
             e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
             e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
 
-            # ---- boundary-exact local window update ----------------------
-            # Window start in local *padded* columns; clamp + lag-mask makes
-            # non-overlapping shards perform an exact no-op.
-            ps = t_glob - gpos0  # may be far out of range
+            scores_pad, colmax_pad = apply_update(
+                scores_pad, colmax_pad, t_glob, f, c_hat
+            )
+
+            done = jnp.logical_or(
+                jnp.logical_or(done, code == 0),
+                jnp.logical_and(emit, e_res <= snr_thr),
+            )
+            return (
+                scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count,
+            ), None
+
+        def apply_update(scores_pad, colmax_pad, t_glob, f, c_hat):
+            """Boundary-exact local window update for a global pick (shared by
+            the single-select body above and the sweep path): clamp + lag-mask
+            makes non-overlapping shards perform an exact no-op."""
+            ps = t_glob - gpos0
             ps_c = jnp.clip(ps, 0, l - 1)
-            offset = ps_c - ps  # lag shift caused by clamping
-            gram_row = gram_t[f]  # [K, lag]
+            offset = ps_c - ps
+            gram_row = gram_t[f]
             lags = jnp.arange(lag) + offset
             lag_ok = jnp.logical_and(lags >= 0, lags < lag)
             row = jnp.where(
@@ -190,7 +214,6 @@ def sp_encode(
             window = jax.lax.dynamic_slice(scores_pad, (0, ps_c), (k, lag))
             window = window - jax.lax.optimization_barrier(c_hat * row)
             scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, ps_c))
-            # colmax over the touched columns; keep invalid positions at -1
             touched_gpos = gpos0 + (jnp.arange(lag) + ps_c - (w - 1))
             touched_valid = jnp.logical_and(
                 touched_gpos >= 0, touched_gpos < npos_total
@@ -201,14 +224,93 @@ def sp_encode(
                 jnp.float32(-1),
             )
             colmax_pad = jax.lax.dynamic_update_slice(colmax_pad, cm, (ps_c,))
+            return scores_pad, colmax_pad
 
-            done = jnp.logical_or(
-                jnp.logical_or(done, code == 0),
-                jnp.logical_and(emit, e_res <= snr_thr),
+        def seg_body(j, carry):
+            # one segment of a multi-select sweep — identical spec semantics
+            # to ops.encode.mp_encode_from_init's seg_body, with the three
+            # selection collectives of the plain SP iteration
+            (snapshot, scores_pad, colmax_pad, e_res, done, positions, atoms,
+             codes, count, last_t, any_acc) = carry
+            lo = j * seg_len
+            gpos = gpos0 + jnp.arange(l)
+            in_seg = jnp.logical_and(gpos >= lo, gpos < lo + seg_len)
+            seg_loc = jnp.where(in_seg, snapshot, jnp.float32(-1))
+            t_loc = jnp.argmax(seg_loc).astype(jnp.int32)
+            v_loc = seg_loc[t_loc]
+            seg_best = jax.lax.pmax(v_loc, axis)
+            t_cand = jnp.where(
+                jnp.logical_and(v_loc == seg_best, seg_best >= 0),
+                gpos0 + t_loc,
+                big,
+            ).astype(jnp.int32)
+            t_glob = jax.lax.pmin(t_cand, axis)
+            am_winner = jnp.logical_and(t_cand == t_glob, seg_best >= 0)
+            t_safe = jnp.clip(t_glob - gpos0, 0, l - 1)
+            col = jax.lax.dynamic_slice(
+                scores_pad, (0, t_safe + (w - 1)), (k, 1)
+            )[:, 0]
+            f_loc = jnp.argmax(jnp.abs(col) * weights).astype(jnp.int32)
+            s_loc = col[f_loc]
+            y = s_loc * inv_scale
+            r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+            code_loc = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
+            packed = jnp.where(
+                am_winner,
+                jnp.stack(
+                    [f_loc.astype(jnp.float32), code_loc.astype(jnp.float32), s_loc]
+                ),
+                jnp.zeros((3,), jnp.float32),
             )
-            return (
-                scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count,
-            ), None
+            f_g, code_g, s_g = jax.lax.psum(packed, axis)
+            f = f_g.astype(jnp.int32)
+            code = code_g.astype(jnp.int32)
+            guard_ok = jnp.logical_or(last_t < 0, t_glob - last_t >= 2 * w - 1)
+            emit = (
+                jnp.logical_not(done)
+                & (seg_best >= 0)
+                & (code != 0)
+                & guard_ok
+                & (count < num_coefs)
+            )
+            c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+            positions = positions.at[count].set(
+                jnp.where(emit, t_glob, positions[count])
+            )
+            atoms = atoms.at[count].set(jnp.where(emit, f, atoms[count]))
+            codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+            count = count + emit.astype(jnp.int32)
+            e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s_g)
+            e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+            e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+            scores_pad, colmax_pad = apply_update(
+                scores_pad, colmax_pad, t_glob, f, c_hat
+            )
+            last_t = jnp.where(emit, t_glob, last_t)
+            any_acc = jnp.logical_or(any_acc, emit)
+            done = jnp.logical_or(done, jnp.logical_and(emit, e_res <= snr_thr))
+            return (snapshot, scores_pad, colmax_pad, e_res, done, positions,
+                    atoms, codes, count, last_t, any_acc)
+
+        def sweep_cond(carry):
+            (_, _, _, done, _, _, _, count) = carry
+            return jnp.logical_and(jnp.logical_not(done), count < num_coefs)
+
+        def sweep_body(carry):
+            scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+            snapshot = jax.lax.dynamic_slice(colmax_pad, (w - 1,), (l,))
+            out = jax.lax.fori_loop(
+                0,
+                num_select,
+                seg_body,
+                (snapshot, scores_pad, colmax_pad, e_res, done, positions,
+                 atoms, codes, count, jnp.int32(-1), jnp.bool_(False)),
+            )
+            (_, scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count, _, any_acc) = out
+            done = jnp.logical_or(done, jnp.logical_not(any_acc))
+            return (scores_pad, colmax_pad, e_res, done, positions, atoms,
+                    codes, count)
 
         init = (
             scores_pad,
@@ -220,9 +322,12 @@ def sp_encode(
             jnp.zeros((num_coefs,), dtype=jnp.int32),
             jnp.int32(0),
         )
-        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = (
-            jax.lax.scan(body, init, None, length=num_coefs)
-        )
+        if num_select <= 1:
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count), _ = jax.lax.scan(body, init, None, length=num_coefs)
+        else:
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count) = jax.lax.while_loop(sweep_cond, sweep_body, init)
         return EncodedBlock(
             positions=positions,
             atoms=atoms,

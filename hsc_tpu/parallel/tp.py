@@ -38,6 +38,7 @@ def tp_encode(
     tolerance_snr: float | None = None,
     singleton_weight: float = 1.0,
     n_raw: int | None = None,
+    num_select: int = 1,
     axis: str = "model",
 ) -> EncodedBlock:
     """Encode ONE block ``x [N, C]`` with atoms sharded over `axis`.
@@ -45,7 +46,11 @@ def tp_encode(
     `gram` is the UNtransposed Gram tensor ``G[g, f, lag]`` (sharded on g).
     Emits the single-device stream bit-for-bit given identical correlation
     values (replicated greedy arithmetic; all shards return identical event
-    buffers).
+    buffers).  `num_select > 1` runs the spec's multi-select sweeps
+    (reference `nbBlocks`; see `oracle.mp.mp_encode`): the sweep-start
+    snapshot is one pmax of the local colmaxes, then each segment's atom
+    stage runs the usual pmax/pmin/psum winner extraction against the
+    *current* sharded scores.
     """
     k, w, c = bank.shape
     if n_raw is None:
@@ -60,6 +65,8 @@ def tp_encode(
     n = x.shape[0]
     npos = n - w + 1
     lag = 2 * w - 1
+    # spec segment length for multi-select sweeps (oracle.mp.mp_encode)
+    seg_len = 128 * (-(-npos // (128 * num_select))) if num_select > 1 else 0
     maxcode = float((1 << (amp_bits - 1)) - 1)
     snr_factor = 10.0 ** (-tolerance_snr / 10.0) if tolerance_snr is not None else None
 
@@ -159,6 +166,95 @@ def tp_encode(
                 scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count,
             ), None
 
+        def seg_body(j, carry):
+            # one segment of a multi-select sweep (spec semantics of
+            # ops.encode.mp_encode_from_init's seg_body): position from the
+            # sweep-start global snapshot, atom from the CURRENT sharded
+            # scores via the usual pmax/pmin/psum winner extraction
+            (snapshot, scores_pad, colmax_pad, e_res, done, positions, atoms,
+             codes, count, last_t, any_acc) = carry
+            lo = j * seg_len
+            ids = jnp.arange(npos)
+            seg = jnp.where(
+                jnp.logical_and(ids >= lo, ids < lo + seg_len),
+                snapshot,
+                jnp.float32(-1),
+            )
+            seg_best = jnp.max(seg)
+            t = jnp.minimum(jnp.argmax(seg).astype(jnp.int32), jnp.int32(npos - 1))
+            col = jax.lax.dynamic_slice(scores_pad, (0, t + (w - 1)), (kl, 1))[:, 0]
+            wcol = jnp.abs(col) * weights
+            f_loc = jnp.argmax(wcol).astype(jnp.int32)
+            v_loc = wcol[f_loc]
+            v_glob = jax.lax.pmax(v_loc, axis)
+            f_cand = jnp.where(v_loc == v_glob, g0 + f_loc, big).astype(jnp.int32)
+            f_glob = jax.lax.pmin(f_cand, axis)
+            am_winner = f_cand == f_glob
+            s_loc = col[f_loc]
+            y = s_loc * inv_scale
+            r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
+            code_loc = jnp.clip(r, -maxcode, maxcode).astype(jnp.int32)
+            packed = jnp.where(
+                am_winner,
+                jnp.stack([code_loc.astype(jnp.float32), s_loc]),
+                jnp.zeros((2,), jnp.float32),
+            )
+            code_g, s_val = jax.lax.psum(packed, axis)
+            code = code_g.astype(jnp.int32)
+            guard_ok = jnp.logical_or(last_t < 0, t - last_t >= 2 * w - 1)
+            emit = (
+                jnp.logical_not(done)
+                & (seg_best >= 0)
+                & (code != 0)
+                & guard_ok
+                & (count < num_coefs)
+            )
+            c_hat = jnp.where(emit, code.astype(jnp.float32) * scale, jnp.float32(0))
+            positions = positions.at[count].set(jnp.where(emit, t, positions[count]))
+            atoms = atoms.at[count].set(jnp.where(emit, f_glob, atoms[count]))
+            codes = codes.at[count].set(jnp.where(emit, code, codes[count]))
+            count = count + emit.astype(jnp.int32)
+            e_step = jax.lax.optimization_barrier(jnp.float32(2.0) * c_hat * s_val)
+            e_sq = jax.lax.optimization_barrier(c_hat * c_hat)
+            e_res = jnp.where(emit, (e_res - e_step) + e_sq, e_res)
+            gram_rows = jax.lax.dynamic_slice(
+                gram_loc, (0, f_glob, 0), (kl, 1, lag)
+            )[:, 0, :]
+            window = jax.lax.dynamic_slice(scores_pad, (0, t), (kl, lag))
+            window = window - jax.lax.optimization_barrier(c_hat * gram_rows)
+            scores_pad = jax.lax.dynamic_update_slice(scores_pad, window, (0, t))
+            colmax_pad = jax.lax.dynamic_update_slice(
+                colmax_pad,
+                jnp.max(jnp.abs(window) * weights[:, None], axis=0),
+                (t,),
+            )
+            last_t = jnp.where(emit, t, last_t)
+            any_acc = jnp.logical_or(any_acc, emit)
+            done = jnp.logical_or(done, jnp.logical_and(emit, e_res <= snr_thr))
+            return (snapshot, scores_pad, colmax_pad, e_res, done, positions,
+                    atoms, codes, count, last_t, any_acc)
+
+        def sweep_cond(carry):
+            (_, _, _, done, _, _, _, count) = carry
+            return jnp.logical_and(jnp.logical_not(done), count < num_coefs)
+
+        def sweep_body(carry):
+            scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count = carry
+            colmax_loc = jax.lax.dynamic_slice(colmax_pad, (w - 1,), (npos,))
+            snapshot = jax.lax.pmax(colmax_loc, axis)  # one pmax per sweep
+            out = jax.lax.fori_loop(
+                0,
+                num_select,
+                seg_body,
+                (snapshot, scores_pad, colmax_pad, e_res, done, positions,
+                 atoms, codes, count, jnp.int32(-1), jnp.bool_(False)),
+            )
+            (_, scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count, _, any_acc) = out
+            done = jnp.logical_or(done, jnp.logical_not(any_acc))
+            return (scores_pad, colmax_pad, e_res, done, positions, atoms,
+                    codes, count)
+
         init = (
             scores_pad,
             colmax_pad,
@@ -169,9 +265,12 @@ def tp_encode(
             jnp.zeros((num_coefs,), dtype=jnp.int32),
             jnp.int32(0),
         )
-        (scores_pad, colmax_pad, e_res, done, positions, atoms, codes, count), _ = (
-            jax.lax.scan(body, init, None, length=num_coefs)
-        )
+        if num_select <= 1:
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count), _ = jax.lax.scan(body, init, None, length=num_coefs)
+        else:
+            (scores_pad, colmax_pad, e_res, done, positions, atoms, codes,
+             count) = jax.lax.while_loop(sweep_cond, sweep_body, init)
         return EncodedBlock(
             positions=positions,
             atoms=atoms,

@@ -8,6 +8,7 @@ metrics JSONL, and in-order container assembly.
 
 from __future__ import annotations
 
+import os
 import struct
 import time
 
@@ -19,6 +20,55 @@ from .io.bitstream import MAGIC, VERSION, pack_stream, unpack_corpus
 from .io.journal import EncodeJournal
 from .models.coder import HierarchicalConvolutionalSparseCoder
 from .utils.metrics import MetricsLogger
+
+
+def _journal_name(process_index: int) -> str:
+    """Per-process journal file name: process 0 keeps the single-process
+    name so existing journals resume unchanged."""
+    return "corpus" if process_index == 0 else f"corpus.p{process_index}"
+
+
+def assemble_container(
+    cfg: CodecConfig,
+    journal_dir: str,
+    n_blocks: int,
+    n_processes: int,
+    distributed: bool = False,
+) -> bytes:
+    """Process-0 container assembly from per-process journals (SURVEY.md
+    §2.3 P9: each process journals its own shard under GLOBAL block ids;
+    process 0 — with all journals visible on a shared filesystem — emits the
+    container in original block order regardless of completion order)."""
+    journals = [
+        EncodeJournal(
+            journal_dir,
+            name=_journal_name(p),
+            config_json=cfg.to_json() + (":distributed" if distributed else ""),
+        )
+        for p in range(n_processes)
+    ]
+    try:
+        owner: dict[int, EncodeJournal] = {}
+        for j in journals:
+            for bid in j.done_blocks:
+                owner.setdefault(bid, j)
+        missing = [b for b in range(n_blocks) if b not in owner]
+        if missing:
+            raise ValueError(
+                f"blocks not yet encoded in any journal: {missing[:8]}..."
+            )
+        cfg_json = cfg.to_json().encode()
+        parts = [
+            MAGIC,
+            struct.pack("<BI", VERSION, len(cfg_json)),
+            cfg_json,
+            struct.pack("<I", n_blocks),
+        ]
+        parts.extend(owner[b].read(b) for b in range(n_blocks))
+        return b"".join(parts)
+    finally:
+        for j in journals:
+            j.close()
 
 
 class CorpusEncoder:
@@ -48,9 +98,11 @@ class CorpusEncoder:
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
         self.batch_size = int(batch_size)
         self.distributed = bool(distributed)
+        self.process_index = int(process_index)
         self.journal = (
             EncodeJournal(
                 journal_dir,
+                name=_journal_name(self.process_index),
                 config_json=self.cfg.to_json()
                 + (":distributed" if self.distributed else ""),
             )
@@ -79,29 +131,33 @@ class CorpusEncoder:
             )
         return struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream)
 
-    def encode(self, blocks: np.ndarray) -> bytes:
-        """Encode ``[B, block_size]`` into the container format; resumable —
-        journaled blocks are skipped on restart."""
+    def _validate_blocks(self, blocks) -> np.ndarray:
         blocks = np.asarray(blocks, dtype=np.float32)
         if blocks.ndim != 2 or blocks.shape[1] != self.cfg.block_size:
             raise ValueError(
                 f"blocks must be [B, {self.cfg.block_size}]; got {blocks.shape}"
             )
-        nb = blocks.shape[0]
-        done = self.journal.done_blocks if self.journal else set()
-        todo = [b for b in range(nb) if b not in done]
-        payloads: dict[int, bytes] = {}
-        top = self.cfg.num_levels - 1
+        return blocks
 
+    def _compute_payloads(
+        self,
+        blocks: np.ndarray,
+        todo: list[int],
+        payloads: dict[int, bytes],
+        offset: int = 0,
+    ) -> None:
+        """Encode `todo` (local indexes into `blocks`) into `payloads`;
+        journal entries are recorded under GLOBAL ids ``local + offset``
+        (offset != 0 only for multi-host shard encodes)."""
+        top = self.cfg.num_levels - 1
         if self.dp is not None:
-            self._encode_dp(blocks, todo, payloads)
-            todo = []
-        elif self.cfg.num_levels == 1:
+            self._encode_dp(blocks, todo, payloads, offset)
+            return
+        if self.cfg.num_levels == 1:
             # single-level corpora run the pipelined 3-stage path (init host
             # round trips overlap device work — ops/pipeline.py)
-            self._encode_single_level_pipelined(blocks, todo, payloads)
-            todo = []
-
+            self._encode_single_level_pipelined(blocks, todo, payloads, offset)
+            return
         for start in range(0, len(todo), self.batch_size):
             ids = todo[start : start + self.batch_size]
             t0 = time.perf_counter()
@@ -127,7 +183,17 @@ class CorpusEncoder:
             for bid, payload in zip(ids, packed):
                 payloads[bid] = payload
                 if self.journal:
-                    self.journal.record(bid, payload)
+                    self.journal.record(bid + offset, payload)
+
+    def encode(self, blocks: np.ndarray) -> bytes:
+        """Encode ``[B, block_size]`` into the container format; resumable —
+        journaled blocks are skipped on restart."""
+        blocks = self._validate_blocks(blocks)
+        nb = blocks.shape[0]
+        done = self.journal.done_blocks if self.journal else set()
+        todo = [b for b in range(nb) if b not in done]
+        payloads: dict[int, bytes] = {}
+        self._compute_payloads(blocks, todo, payloads)
 
         parts = []
         cfg_json = self.cfg.to_json().encode()
@@ -142,8 +208,75 @@ class CorpusEncoder:
                 parts.append(self.journal.read(b))
         return b"".join(parts)
 
+    # -- multi-host orchestration (SURVEY.md §2.3 P9) -----------------------
+
+    def encode_shard(self, local_blocks: np.ndarray, global_start: int = 0) -> None:
+        """Encode a host-local corpus shard, journaling payloads under GLOBAL
+        block ids ``global_start + i`` — the per-process half of the
+        multi-host story (each process journals its own shard; process 0
+        assembles with `assemble_container`).  Requires a journal."""
+        if self.journal is None:
+            raise ValueError("encode_shard requires a journal_dir")
+        blocks = self._validate_blocks(local_blocks)
+        done = self.journal.done_blocks
+        todo = [
+            b for b in range(blocks.shape[0]) if b + global_start not in done
+        ]
+        self._compute_payloads(blocks, todo, {}, offset=global_start)
+
+    def encode_multihost(
+        self,
+        local_blocks: np.ndarray,
+        n_global: int,
+        n_processes: int | None = None,
+    ) -> bytes | None:
+        """Multi-host corpus encode: every process encodes + journals its
+        shard of the canonical block->process split
+        (`DataParallelEncoder.multihost_split`; ragged tails allowed), then
+        process 0 assembles the container from all journals on the shared
+        filesystem.  Returns the container on process 0, None elsewhere.
+
+        `n_processes` defaults to `jax.process_count()`; passing it
+        explicitly (with per-encoder `process_index`) exercises the
+        shard/assembly protocol single-process (the unit-test harness).
+        With one process and process_index 0 this equals `encode`."""
+        import jax
+
+        n_proc = jax.process_count() if n_processes is None else int(n_processes)
+        if n_proc == 1 and self.process_index == 0:
+            return self.encode(local_blocks)
+        from .parallel.dp import DataParallelEncoder
+
+        lo, hi = DataParallelEncoder.multihost_split(n_global, n_proc)[
+            self.process_index
+        ]
+        blocks = self._validate_blocks(local_blocks)
+        if blocks.shape[0] != hi - lo:
+            raise ValueError(
+                f"process {self.process_index} must pass blocks [{lo}, {hi}); "
+                f"got {blocks.shape[0]}"
+            )
+        self.encode_shard(blocks, global_start=lo)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("hsc_tpu_assemble")
+        if self.process_index == 0:
+            return assemble_container(
+                self.cfg,
+                os.path.dirname(self.journal._jpath),
+                n_global,
+                n_proc,
+                distributed=self.distributed,
+            )
+        return None
+
     def _encode_dp(
-        self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]
+        self,
+        blocks: np.ndarray,
+        todo: list[int],
+        payloads: dict[int, bytes],
+        offset: int = 0,
     ) -> None:
         """Mesh-sharded encode: super-batches of batch_size x num_shards
         blocks through the HierarchicalDataParallelEncoder — every level runs
@@ -176,7 +309,7 @@ class CorpusEncoder:
                 total_bytes += len(payload)
                 events += n
                 if self.journal:
-                    self.journal.record(bid, payload)
+                    self.journal.record(bid + offset, payload)
             self.metrics.log(
                 {
                     "kind": "encode_batch",
@@ -191,7 +324,11 @@ class CorpusEncoder:
             )
 
     def _encode_single_level_pipelined(
-        self, blocks: np.ndarray, todo: list[int], payloads: dict[int, bytes]
+        self,
+        blocks: np.ndarray,
+        todo: list[int],
+        payloads: dict[int, bytes],
+        offset: int = 0,
     ) -> None:
         import jax.numpy as jnp
 
@@ -238,7 +375,7 @@ class CorpusEncoder:
                 total_bytes += len(payload)
                 events += n
                 if self.journal:
-                    self.journal.record(bid, payload)
+                    self.journal.record(bid + offset, payload)
         self.metrics.log(
             {
                 "kind": "encode_batch",
@@ -267,14 +404,21 @@ class CorpusEncoder:
                 )
         top = cfg.num_levels - 1
         t0 = time.perf_counter()
+        # the stream header's decode arithmetic is authoritative (mode may
+        # differ from this dictionary's config — streams are self-describing)
+        mode, rep_bits = cfg.decode_mode, cfg.rep_bits
         if all(len(s) == 1 and s[0][0] == top for s in blocks):
             # common shape (one top-level stream per block): one batched decode
-            out = self.coder.reconstruct_batch([s[0][1] for s in blocks], level=top)
+            out = self.coder.reconstruct_batch(
+                [s[0][1] for s in blocks], level=top, mode=mode, rep_bits=rep_bits
+            )
         else:
             out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
             for b, streams in enumerate(blocks):
                 for level, stream in streams:
-                    out[b] += self.coder.reconstruct(stream, level=level)
+                    out[b] += self.coder.reconstruct(
+                        stream, level=level, mode=mode, rep_bits=rep_bits
+                    )
         dt = time.perf_counter() - t0
         self.metrics.log(
             {

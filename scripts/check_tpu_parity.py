@@ -145,6 +145,24 @@ def main():
     recon_b = coder.reconstruct_batch([batch[b][1] for b in range(4)])
     check("batched decode == per-block decode", recon_b.tobytes() == recon_dev.tobytes())
 
+    # ---- 5. integer decode mode (format v2): MXU path == oracle -----------
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+
+    rep_q, step = rep_quantize(reps, cfg2.rep_bits)
+    int_ref = np.stack(
+        [
+            mp_decode_integer(batch[b][1], rep_q, step, cfg2.block_size)[:, 0]
+            for b in range(4)
+        ]
+    )
+    int_dev = coder.reconstruct_batch(
+        [batch[b][1] for b in range(4)], mode="integer"
+    )
+    check(
+        "integer (order-free MXU) decode bytes == oracle",
+        int_dev.tobytes() == int_ref.tobytes(),
+    )
+
     print(f"\n{'ALL CHECKS PASSED' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}")
     return 1 if FAILURES else 0
 

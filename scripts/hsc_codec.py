@@ -45,6 +45,10 @@ def parse_args():
                    help="override the top-level coefficient budget")
     p.add_argument("--tolerance-snr", type=float, default=None,
                    help="stop encoding a block at this SNR (dB)")
+    p.add_argument("--decode-mode", choices=["ordered", "integer"], default=None,
+                   help="reconstruction arithmetic written into the stream "
+                   "header: 'ordered' (sequential float32) or 'integer' "
+                   "(order-free mod-2^32; decodes on the MXU)")
     p.add_argument("--distributed", action="store_true",
                    help="emit the distributed representation (events stored "
                    "at the level where their atom is raw) instead of "
@@ -97,6 +101,8 @@ def main():
         overrides["num_select"] = args.num_select
     if args.tolerance_snr is not None:
         overrides["tolerance_snr"] = args.tolerance_snr
+    if args.decode_mode is not None:
+        overrides["decode_mode"] = args.decode_mode
     if args.num_coefs is not None:
         nc = list(mld.config.num_coefs)
         nc[-1] = args.num_coefs

@@ -227,3 +227,59 @@ def test_corpus_encoder_rice_roundtrip(mld1):
     decoded = enc.decode(blob)
     for b in range(4):
         assert snr_db(xs[b], decoded[b]) > 3.0
+
+
+def test_multihost_split_ragged():
+    from hsc_tpu.parallel.dp import DataParallelEncoder
+
+    assert DataParallelEncoder.multihost_split(10, 4) == [
+        (0, 3), (3, 6), (6, 9), (9, 10),
+    ]
+    assert DataParallelEncoder.multihost_split(8, 4) == [
+        (0, 2), (2, 4), (4, 6), (6, 8),
+    ]
+
+
+def test_multihost_shard_assembly(tmp_path, mld1):
+    """Faked 2-process multi-host protocol (VERDICT r1 #5): each process
+    encodes + journals its shard under global ids; process-0 assembly is
+    byte-identical to the single-process container, including a ragged
+    split."""
+    from hsc_tpu.runtime import assemble_container
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    n_global = 7  # ragged: ceil(7/2)=4 -> p0 owns [0,4), p1 owns [4,7)
+    xs = gen.generate_signals(n_global, mld1.config.block_size, seed=77)
+    ref = CorpusEncoder(mld1, backend="jax", batch_size=4).encode(xs)
+
+    jdir = str(tmp_path / "mh")
+    p0 = CorpusEncoder(
+        mld1, backend="jax", batch_size=4, journal_dir=jdir, process_index=0
+    )
+    p1 = CorpusEncoder(
+        mld1, backend="jax", batch_size=4, journal_dir=jdir, process_index=1
+    )
+    # order scrambled on purpose: p1 finishes first
+    out1 = p1.encode_multihost(xs[4:7], n_global, n_processes=2)
+    assert out1 is None  # only process 0 assembles
+    out0 = p0.encode_multihost(xs[0:4], n_global, n_processes=2)
+    assert out0 == ref
+
+    # wrong shard size is rejected
+    with pytest.raises(ValueError, match="must pass blocks"):
+        p0.encode_multihost(xs[0:3], n_global, n_processes=2)
+
+    # assembly with a missing shard reports the gap
+    jdir2 = str(tmp_path / "mh2")
+    p1b = CorpusEncoder(
+        mld1, backend="jax", batch_size=4, journal_dir=jdir2, process_index=1
+    )
+    p1b.encode_shard(xs[4:7], global_start=4)
+    with pytest.raises(ValueError, match="not yet encoded"):
+        assemble_container(mld1.config, jdir2, n_global, 2)
+
+
+def test_encode_shard_requires_journal(mld1):
+    enc = CorpusEncoder(mld1, backend="jax")
+    with pytest.raises(ValueError, match="journal_dir"):
+        enc.encode_shard(np.zeros((1, mld1.config.block_size), np.float32))
