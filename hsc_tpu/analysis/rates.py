@@ -114,8 +114,14 @@ def rate_distortion_curve(
     """(bits/sample, SNR dB) at a sweep of coefficient budgets — the
     SNR-vs-rate research curve of the reference paper (flat, level-0 form).
 
-    `use_device=False` runs the NumPy oracle (no jit recompiles per budget);
-    True runs the device encoder.
+    `use_device=False` runs the NumPy oracle per (budget, block).
+    `use_device=True` exploits the greedy prefix property (the first k
+    events of a budget-N encode ARE the budget-k encode — selection never
+    looks ahead): the whole corpus is encoded ONCE at max(budgets) in one
+    batched jit, every smaller budget is a truncation of that event list,
+    and distortion comes from one fixed-shape batched decode per budget —
+    exactly two compiled programs for the entire sweep regardless of how
+    many budgets it covers.
     """
     from ..oracle.mp import mp_encode
     from ..utils import snr_db as _snr
@@ -124,23 +130,50 @@ def rate_distortion_curve(
     bank = mld.augmented(0)
     gram = mld.gram(0)
     out = []
+    if use_device:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.coder import ConvolutionalMatchingPursuit
+        from ..ops.decode import mp_decode_batch_jax
+
+        mp = ConvolutionalMatchingPursuit(
+            bank, gram, num_coefs=max(budgets), amp_bits=cfg.amp_bits
+        )
+        enc = jax.device_get(mp.compute_coefficients_batch(xs[:, :, None]))
+        pos = jnp.asarray(enc.positions)
+        atm = jnp.asarray(enc.atoms)
+        cds = jnp.asarray(enc.codes)
+        scl = jnp.asarray(enc.scale)
+        bank_d = mp.bank
+        e0 = np.sum(np.square(xs.astype(np.float32)), axis=1, dtype=np.float64)
+        for budget in budgets:
+            counts = np.minimum(enc.count, budget).astype(np.int32)
+            recon = np.asarray(
+                mp_decode_batch_jax(
+                    pos, atm, cds, jnp.asarray(counts), scl, bank_d,
+                    n=cfg.block_size,
+                )
+            )[:, :, 0]
+            err = xs.astype(np.float32) - recon
+            den = float(np.sum(np.square(err, dtype=np.float64))) or 1e-20
+            bits = int(np.sum(counts)) * cfg.event_bits(0)
+            out.append(
+                (
+                    bits / (xs.shape[0] * cfg.block_size),
+                    10.0 * math.log10(float(np.sum(e0)) / den),
+                )
+            )
+        return out
     for budget in budgets:
         bits = 0
         num = 0.0
         den = 0.0
         for b in range(xs.shape[0]):
-            if use_device:
-                from ..models.coder import ConvolutionalMatchingPursuit, _to_level_stream
-
-                mp = ConvolutionalMatchingPursuit(
-                    bank, gram, num_coefs=budget, amp_bits=cfg.amp_bits
-                )
-                stream = _to_level_stream(mp.compute_coefficients(xs[b]))
-            else:
-                stream = mp_encode(
-                    xs[b][:, None], bank, gram, num_coefs=budget,
-                    amp_bits=cfg.amp_bits,
-                )
+            stream = mp_encode(
+                xs[b][:, None], bank, gram, num_coefs=budget,
+                amp_bits=cfg.amp_bits,
+            )
             bits += stream.positions.shape[0] * cfg.event_bits(0)
             num += stream.energy0
             den += max(stream.energy_res, 1e-20)

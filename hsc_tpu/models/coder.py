@@ -126,31 +126,35 @@ class ConvolutionalMatchingPursuit:
             return EncodedBlock(*(v[0] for v in enc))
         return mp_encode_jax(x, self.bank, self.gram_t, **self.settings)
 
+    def loop_stage(self, scores0, e0, scale, inv) -> EncodedBlock:
+        """Dispatch the greedy-loop stage on a precomputed init (the third
+        stage of the init -> host-quantizer -> loop pipeline): the fused
+        Pallas kernel when the fold precondition holds, else the XLA
+        multi-select path.  Same emitted stream either way."""
+        if self.backend.startswith("pallas"):
+            from ..ops.mp_kernels import _mp_pallas_stage, pallas_fold
+
+            npos = int(scores0.shape[2])
+            fold = pallas_fold(npos, int(self.bank.shape[1]))
+            if self.settings["num_select"] in (1, fold):
+                return _mp_pallas_stage(
+                    scores0, e0, jnp.asarray(scale), jnp.asarray(inv),
+                    self.bank, self.gram_t,
+                    interpret=self.backend == "pallas_interpret",
+                    **self.settings,
+                )
+        return self._batched_loop(
+            scores0, e0, jnp.asarray(scale), jnp.asarray(inv), self.bank, self.gram_t
+        )
+
     def compute_coefficients_batch(self, xs) -> EncodedBlock:
         """Encode ``[B, N, C]`` (or ``[B, N]``) in one jit'd computation."""
         xs = jnp.asarray(xs, dtype=jnp.float32)
         if xs.ndim == 2:
             xs = xs[:, :, None]
-        if self.backend.startswith("pallas"):
-            from ..ops.mp_kernels import mp_encode_pallas, pallas_fold
-
-            npos = xs.shape[1] - self.bank.shape[1] + 1
-            fold = pallas_fold(npos, int(self.bank.shape[1]))
-            if self.settings["num_select"] in (1, fold):
-                return mp_encode_pallas(
-                    xs,
-                    self.bank,
-                    self.gram_t,
-                    interpret=self.backend == "pallas_interpret",
-                    **self.settings,
-                )
-            # num_select incompatible with this geometry's fold -> XLA
-            # multi-select path (same emitted stream)
         scores0, e0, peak = encode_init_batched(xs, self.bank)
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
-        return self._batched_loop(
-            scores0, e0, jnp.asarray(scale), jnp.asarray(inv), self.bank, self.gram_t
-        )
+        return self.loop_stage(scores0, e0, scale, inv)
 
 
 class ConvolutionalSparseCoder:

@@ -75,3 +75,63 @@ def encode_batches_pipelined(
         scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
         outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
     return outs
+
+
+def encode_hierarchical_batches_pipelined(batches, coder):
+    """Level-pipelined hierarchical corpus encode (SURVEY.md §2.3 P3).
+
+    The serial path (`HierarchicalConvolutionalSparseCoder.encode_batch`
+    per batch) stalls the device on one host quantizer round trip per
+    (level, batch).  Here every level runs as its own batch pipeline: all
+    init convs are dispatched before any host step, so the device encodes
+    batch i while batch i-1's peak vector is in flight, and each batch's
+    quantized feature-map hand-off is dispatched asynchronously — level k+1
+    inits start while level k's later batches still compute.  Per-block
+    streams are bitwise identical to the serial path (same three stage
+    executables, same hand-off jit).
+
+    `coder`: a models.coder.HierarchicalConvolutionalSparseCoder.
+    `batches`: list of ``[B, N, C]`` device arrays.
+    Returns ``outs[level][batch_index]`` EncodedBlocks (device).
+    """
+    import functools as _functools
+
+    cfg = coder.cfg
+    n_levels = cfg.num_levels
+    outs = [[None] * len(batches) for _ in range(n_levels)]
+    seqs = list(batches)
+    for level in range(n_levels):
+        mp = coder.coders[level].mp
+        inits = []
+        for xb in seqs:
+            s0, e0, peak = encode_init_batched(xb, mp.bank)
+            try:
+                peak.copy_to_host_async()
+            except AttributeError:
+                pass
+            inits.append((s0, e0, peak))
+        next_seqs = []
+        amp_bits = mp.settings["amp_bits"]
+        for bi, (s0, e0, peak) in enumerate(inits):
+            scale, inv = quantizer_steps(
+                np.asarray(jax.device_get(peak)), amp_bits
+            )
+            enc = mp.loop_stage(s0, e0, scale, inv)
+            outs[level][bi] = enc
+            if level + 1 < n_levels:
+                key = level
+                if key not in coder._fmap_batched:
+                    from .encode import feature_map_jax
+
+                    coder._fmap_batched[key] = jax.jit(
+                        jax.vmap(
+                            _functools.partial(
+                                feature_map_jax,
+                                npos=cfg.num_positions(level),
+                                k=coder.mld.num_atoms(level),
+                            )
+                        )
+                    )
+                next_seqs.append(coder._fmap_batched[key](enc))
+        seqs = next_seqs
+    return outs

@@ -158,32 +158,59 @@ class CorpusEncoder:
             # round trips overlap device work — ops/pipeline.py)
             self._encode_single_level_pipelined(blocks, todo, payloads, offset)
             return
+        # multi-level corpora: level-pipelined batches (SURVEY.md §2.3 P3) —
+        # all of a level's init convs are dispatched before any host
+        # quantizer step, hand-off maps dispatch asynchronously
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.pipeline import encode_hierarchical_batches_pipelined
+        from .oracle.mp import LevelStream
+
+        batches = []
+        id_groups = []
         for start in range(0, len(todo), self.batch_size):
             ids = todo[start : start + self.batch_size]
-            t0 = time.perf_counter()
-            streams = self.coder.encode_batch(blocks[ids])
-            packed = [self._pack_block(s[top]) for s in streams]
-            dt = time.perf_counter() - t0
-            events = sum(s[top].positions.shape[0] for s in streams)
-            snrs = [s[top].snr_db() for s in streams]
-            self.metrics.log(
-                {
-                    "kind": "encode_batch",
-                    "blocks": len(ids),
-                    "seconds": dt,
-                    "mb_per_s": len(ids) * self.cfg.block_size * 4 / 1e6 / dt,
-                    "events": events,
-                    "coefs_per_sample": events / (len(ids) * self.cfg.block_size),
-                    "mean_snr_db": float(np.mean([s for s in snrs if np.isfinite(s)] or [0])),
-                    "bits_per_sample": 8.0
-                    * sum(len(p) for p in packed)
-                    / (len(ids) * self.cfg.block_size),
-                }
-            )
-            for bid, payload in zip(ids, packed):
+            batches.append(jnp.asarray(blocks[ids][:, :, None]))
+            id_groups.append(ids)
+        if not batches:
+            return
+        t0 = time.perf_counter()
+        outs = encode_hierarchical_batches_pipelined(batches, self.coder)
+        top_encs = [jax.device_get(e) for e in outs[top]]
+        dt = time.perf_counter() - t0
+        nblk = len(todo)
+        events = 0
+        total_bytes = 0
+        for ids, enc in zip(id_groups, top_encs):
+            for j, bid in enumerate(ids):
+                n = int(enc.count[j])
+                stream = LevelStream(
+                    positions=np.asarray(enc.positions[j][:n], np.int32),
+                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
+                    codes=np.asarray(enc.codes[j][:n], np.int32),
+                    scale=np.float32(enc.scale[j]),
+                    energy0=float(enc.energy0[j]),
+                    energy_res=float(enc.energy_res[j]),
+                )
+                payload = self._pack_block(stream)
                 payloads[bid] = payload
+                total_bytes += len(payload)
+                events += n
                 if self.journal:
                     self.journal.record(bid + offset, payload)
+        self.metrics.log(
+            {
+                "kind": "encode_batch",
+                "blocks": nblk,
+                "seconds": dt,
+                "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
+                "events": events,
+                "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
+                "bits_per_sample": 8.0 * total_bytes
+                / max(nblk * self.cfg.block_size, 1),
+            }
+        )
 
     def encode(self, blocks: np.ndarray) -> bytes:
         """Encode ``[B, block_size]`` into the container format; resumable —

@@ -88,3 +88,19 @@ def test_hierarchical_rate_distortion(mld2):
     rates = [p[0] for p in curve]
     assert rates == sorted(rates)
     assert all(np.isfinite(s) for _, s in curve)
+
+
+def test_rate_distortion_device_matches_oracle(mld1):
+    """use_device=True: one batched encode at max budget + prefix
+    truncation (greedy prefix property) — rates identical to the per-budget
+    oracle sweep, SNR within float tolerance of the encoder-tracked one."""
+    from hsc_tpu import SignalGenerator
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=78)
+    budgets = [8, 32, 64]
+    oracle = rate_distortion_curve(mld1, xs, budgets, use_device=False)
+    device = rate_distortion_curve(mld1, xs, budgets, use_device=True)
+    for (ro, so), (rd, sd) in zip(oracle, device):
+        assert ro == rd  # identical event counts (prefix property)
+        assert abs(so - sd) < 0.15  # decode-residual vs tracked-residual SNR
