@@ -91,11 +91,48 @@ def main():
     # 0.01 dB of plain greedy on this corpus — see BASELINE.md)
     tpu_mbps = results[8]
 
+    # ---- order-free integer decode (format v2) on the MXU -----------------
+    from hsc_tpu.oracle.mp import rep_quantize
+    from hsc_tpu.ops.decode import mp_decode_integer_batch_jax
+
+    rep_q, step = rep_quantize(bank, cfg.rep_bits)
+    enc = encode_batches_pipelined(
+        [xb], bank_d, gram_t, backend="pallas", num_coefs=512
+    )[0]
+    enc = jax.device_get(enc)
+    amp_step = (enc.scale.astype(np.float32) * np.float32(step)).astype(np.float32)
+    dec_args = (
+        jnp.asarray(enc.positions), jnp.asarray(enc.atoms),
+        jnp.asarray(enc.codes), jnp.asarray(enc.count),
+        jnp.asarray(amp_step), jnp.asarray(rep_q),
+    )
+
+    @jax.jit
+    def _decode_checksum(*a):
+        # device-side checksum: decode throughput without the relay's D2H
+        # transfer of the full waveform (irrelevant on a local TPU host)
+        return mp_decode_integer_batch_jax.__wrapped__(
+            *a, n=cfg.block_size
+        ).sum()
+
+    t0 = time.perf_counter()
+    jax.device_get(_decode_checksum(*dec_args))
+    log(f"integer decode compile+run: {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(_decode_checksum(*dec_args))
+        best = min(best, time.perf_counter() - t0)
+    decode_mbps = B * block_mb / best
+    log(f"tpu integer decode: {best*1e3:.1f} ms for {B} blocks -> "
+        f"{decode_mbps:.1f} MB/s")
+
     print(json.dumps({
         "metric": "encode throughput, 16k-sample/64-atom/512-coef blocks (flagship config, 8-way multi-select sweeps)",
         "value": round(tpu_mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(tpu_mbps / oracle_mbps, 2),
+        "decode_integer_mb_s": round(decode_mbps, 2),
     }))
 
 

@@ -53,20 +53,8 @@ def mp_decode_jax(
     return out
 
 
-def _planes6(x: jax.Array, nplanes: int) -> list[jax.Array]:
-    """Arithmetic base-64 decomposition ``x = sum_j planes[j] << 6j``.
-
-    Low planes land in [0, 63], the top plane in [-64, 63] — every plane is
-    exactly representable in bfloat16 (8-bit mantissa), which is what makes
-    the MXU plane matmuls error-free."""
-    out = []
-    cur = x
-    for _ in range(nplanes - 1):
-        hi = cur >> 6  # arithmetic shift == floor division
-        out.append(cur - (hi << 6))
-        cur = hi
-    out.append(cur)
-    return out
+def _round_up_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -86,49 +74,64 @@ def mp_decode_integer_jax(
 
     The spec (mod-2^32 integer accumulation of ``code * rep_q`` rows, then
     one f32 scale) is order-free, so instead of the sequential per-event
-    overlap-add this runs three dense stages:
+    overlap-add this runs three dense stages (scatter-free — XLA TPU scatter
+    compiles pathologically and executes serially):
 
-      1. scatter the masked codes into the dense coefficient map
-         ``F [Npos, K]`` (int32 adds — exact, any order);
-      2. ``partial[p, (u,c)] = sum_a F[p,a] * rep_q[a,u,c]`` as 4x2
-         plane-split matmuls: both operands are decomposed into base-64
-         planes (`_planes6`), each plane is exact in bfloat16, each plane
-         product is < 2^12, and each f32-accumulated dot over K <= 4096 atoms
-         stays < 2^24 — every partial sum is an exactly-representable
-         integer, so the MXU result is exact regardless of reduction order;
-      3. the anti-diagonal overlap-add ``out[t] += partial[t-u, u]`` as W
-         static shifted int32 adds (wraparound = the spec's mod 2^32).
+      1. ``crow[i, (u,c)] = code_i * rep_q[atom_i, u, c]`` — an int32 gather
+         + multiply (exact: |crow| < 2^27), decomposed into four base-256
+         planes, each exactly representable in bfloat16;
+      2. ``partial[p, (u,c)] = sum_i [positions_i == p] * crow[i, (u,c)]``
+         — per position chunk, an iota-compare one-hot mask [chunk, E]
+         matmul'd against each crow plane on the MXU with f32 accumulation:
+         plane products are < 2^8 and each dot over E events stays < 2^24,
+         so every partial sum is an exactly-representable integer and the
+         result is exact regardless of reduction order.  Chunks run under
+         one `lax.scan` so the [chunk, E] mask never materializes whole;
+      3. the anti-diagonal overlap-add ``out[t] += partial[t-u, u]`` as one
+         stacked reduction over W zero-padded shifts (int32 wraparound = the
+         spec's mod 2^32).
 
     `amp_step` is the host-computed ``f32(f32(scale) * step)`` per block.
     """
     k, w, c = rep_q.shape
-    if k > 4096:
-        raise ValueError("integer decode supports at most 4096 atoms per bank")
     npos = n - w + 1
     m = positions.shape[0]
     mask = jnp.arange(m) < count
     cz = jnp.where(mask, codes, 0).astype(jnp.int32)
-    # 1-D scatter into the flattened map (friendlier TPU lowering than a 2-D
-    # scatter); int32 adds are exact and order-free
-    flat_idx = positions * k + atoms
-    f_map = (
-        jnp.zeros((npos * k,), jnp.int32).at[flat_idx].add(cz).reshape(npos, k)
+    crow = (cz[:, None, None] * rep_q[atoms]).reshape(m, w * c)
+    planes = []
+    cur = crow
+    for _ in range(3):
+        hi = cur >> 8
+        planes.append((cur - (hi << 8)).astype(jnp.bfloat16))
+        cur = hi
+    planes.append(cur.astype(jnp.bfloat16))  # top plane in [-8, 7]
+    # all four planes ride ONE matmul (output lanes = 4*W*C, keeping the MXU
+    # lane dimension full instead of 4 quarter-width calls)
+    plane_mat = jnp.concatenate(planes, axis=1)  # [E, 4*w*c]
+
+    chunk = min(2048, _round_up_pow2(npos))
+    npos_pad = -(-npos // chunk) * chunk
+    pos_col = positions[None, :]
+
+    def chunk_body(_, p0):
+        iota = p0 + jnp.arange(chunk)
+        msk = (pos_col == iota[:, None]).astype(jnp.bfloat16)  # [chunk, E]
+        mm = jax.lax.dot_general(
+            msk, plane_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        acc = jnp.zeros((chunk, w * c), jnp.int32)
+        for j in range(4):
+            acc = acc + (mm[:, j * w * c : (j + 1) * w * c] << (8 * j))
+        return None, acc
+
+    _, parts = jax.lax.scan(
+        chunk_body, None, jnp.arange(0, npos_pad, chunk, dtype=jnp.int32)
     )
-    f_planes = _planes6(f_map, 4)
-    r_planes = _planes6(rep_q.reshape(k, w * c), 2)
-    acc = jnp.zeros((npos, w * c), jnp.int32)
-    for i, fp in enumerate(f_planes):
-        for j, rp in enumerate(r_planes):
-            p = jax.lax.dot_general(
-                fp.astype(jnp.bfloat16),
-                rp.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + (p.astype(jnp.int32) << (6 * (i + j)))
-    pint = acc.reshape(npos, w, c)
-    # anti-diagonal overlap-add out[t] = sum_u pint[t-u, u] as one stacked
-    # reduction over w zero-padded shifts (no chained in-place updates)
+    pint = parts.reshape(npos_pad, w, c)[:npos]
+    # events with index >= count have cz == 0, so their crow rows are zero —
+    # padded positions (often 0) contribute nothing even where the mask hits
     shifted = jnp.stack(
         [
             jnp.pad(pint[:, u, :], ((u, w - 1 - u), (0, 0)))

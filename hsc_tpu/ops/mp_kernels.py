@@ -407,15 +407,22 @@ def _mp_pallas_stage(
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
     p2 = _LPAD + npos_pad8 + cw
-    # blocks interleaved per program: as many as fit a ~12 MB VMEM budget
-    # (the greedy loop is latency-bound; G independent chains overlap)
+    # blocks interleaved per program: as many as fit the VMEM budget (the
+    # greedy loop is latency-bound; G independent chains overlap).  v5e has
+    # 128 MiB of VMEM per core; the budget leaves headroom for Mosaic
+    # temporaries and the DMA staging of the next program's scores.
+    # Overridable for experiments: HSC_TPU_KERNEL_VMEM_MB / _GROUP_CAP.
+    import os as _os
+
+    vmem_mb = int(_os.environ.get("HSC_TPU_KERNEL_VMEM_MB", "12"))
+    group_cap = int(_os.environ.get("HSC_TPU_KERNEL_GROUP_CAP", "4"))
     per_block = (k * p2 + fold * (l8 + cw) + k * cw) * 4
     gram_bytes = k * k * lag * 4
     group = 1
     while (
-        group < 4
+        group < group_cap
         and b % (group * 2) == 0
-        and (group * 2) * per_block + gram_bytes < 12 * 1024 * 1024
+        and (group * 2) * per_block + gram_bytes < vmem_mb * 1024 * 1024
     ):
         group *= 2
     maxcode = float((1 << (amp_bits - 1)) - 1)

@@ -1,5 +1,5 @@
 from .mesh import make_mesh, initialize_distributed
-from .dp import DataParallelEncoder
+from .dp import DataParallelEncoder, HierarchicalDataParallelEncoder
 from .sp import sp_encode
 from .tp import tp_encode
 from .learn import distributed_kmeans_step, distributed_kmeans
@@ -8,6 +8,7 @@ __all__ = [
     "make_mesh",
     "initialize_distributed",
     "DataParallelEncoder",
+    "HierarchicalDataParallelEncoder",
     "sp_encode",
     "tp_encode",
     "distributed_kmeans_step",

@@ -44,10 +44,22 @@ class DataParallelEncoder:
         settings = {k: v for k, v in mp.settings.items()}
         if mp.backend == "pallas":
             # full-performance pod path: every shard runs the fused VMEM
-            # kernel on its local blocks (pallas inside shard_map)
-            from ..ops.mp_kernels import _mp_pallas_stage
+            # kernel on its local blocks (pallas inside shard_map); when the
+            # geometry's fold factor cannot host this num_select, the XLA
+            # multi-select path runs instead (decided at trace time from the
+            # scores shape — same emitted stream either way)
+            from ..ops.mp_kernels import _mp_pallas_stage, pallas_fold
+
+            w = int(mp.bank.shape[1])
+            xla_loop = jax.vmap(
+                functools.partial(mp_encode_from_init, **settings),
+                in_axes=(0, 0, 0, 0, None, None),
+            )
 
             def loop(scores0, e0, scale, inv, bank, gram_t):
+                fold = pallas_fold(int(scores0.shape[2]), w)
+                if settings["num_select"] not in (1, fold):
+                    return xla_loop(scores0, e0, scale, inv, bank, gram_t)
                 return jax.shard_map(
                     lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(
                         s0, e, sc, iv, bk, gt, interpret=False, **settings

@@ -145,6 +145,16 @@ def main():
     recon_b = coder.reconstruct_batch([batch[b][1] for b in range(4)])
     check("batched decode == per-block decode", recon_b.tobytes() == recon_dev.tobytes())
 
+    # ---- 4b. runtime (P3 level-pipelined) container == serial pack --------
+    from hsc_tpu.runtime import CorpusEncoder
+
+    enc_rt = CorpusEncoder(mld2, batch_size=2)
+    blob_rt = enc_rt.encode(xs2)
+    check(
+        "runtime level-pipelined container == serial corpus bytes",
+        blob_rt == pack_corpus(cfg2, [[(1, batch[b][1])] for b in range(4)]),
+    )
+
     # ---- 5. integer decode mode (format v2): MXU path == oracle -----------
     from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
 

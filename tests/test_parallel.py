@@ -295,3 +295,37 @@ def test_tp_encode_num_select_matches_single_device(mld1):
             jnp.asarray(gram), num_coefs=cfg.num_coefs[0], num_select=ns,
         )
         _assert_streams_equal(tp, single)
+
+
+def test_sp_encode_tolerance_snr_stop(seq_mesh, mld1):
+    """SP with an SNR stop: e0 is a psum of shard partials, so the stop can
+    differ from single-device by at most one event near the threshold (the
+    documented caveat); the emitted stream must still be a valid prefix-or-
+    extension of the single-device stream and reach the target SNR."""
+    cfg = mld1.config
+    x = SignalGenerator(mld1, rates=4e-3).generate_signals(
+        1, cfg.block_size, seed=67
+    )[0]
+    bank = mld1.augmented(0)
+    gram_t = np.ascontiguousarray(mld1.gram(0).transpose(1, 0, 2))
+    tol = 4.0
+    single = mp_encode_jax(
+        jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0], tolerance_snr=tol,
+    )
+    sp = sp_encode(
+        seq_mesh, jnp.asarray(x)[:, None], jnp.asarray(bank),
+        jnp.asarray(gram_t), num_coefs=cfg.num_coefs[0], tolerance_snr=tol,
+    )
+    n_single, n_sp = int(single.count), int(sp.count)
+    assert abs(n_sp - n_single) <= 1
+    n = min(n_sp, n_single)
+    np.testing.assert_array_equal(
+        np.asarray(sp.positions[:n]), np.asarray(single.positions[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.codes[:n]), np.asarray(single.codes[:n])
+    )
+    # the SNR target is reached (within the one-event caveat)
+    snr = 10 * np.log10(float(sp.energy0) / max(float(sp.energy_res), 1e-20))
+    assert snr >= tol - 0.5
