@@ -474,11 +474,17 @@ def _mp_pallas_stage(
         jax.ShapeDtypeStruct((b, 1), jnp.float32),
         jax.ShapeDtypeStruct((b, 1), jnp.float32),
     ]
+    # raise Mosaic's scoped-vmem cap (default 16 MiB) to what the scratch
+    # actually needs, with headroom for compiler temporaries; v5e has
+    # 128 MiB physical VMEM per core
+    scratch_bytes = group * per_block + gram_bytes
+    vmem_limit = min(int(scratch_bytes * 1.5) + (8 << 20), 110 << 20)
     positions, atoms, codes, count, scale, e_res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(e0[:, None], scale_in[:, None], inv_in[:, None], scores0,
       jnp.asarray(gram_t), weights)
     # SMEM event buffers beyond `count` are uninitialized — mask to match the

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--counts", type=int, default=32)
     p.add_argument("--scales", type=int, default=32)
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--hierarchical", action="store_true",
+                   help="weak-scale the 2-level hierarchical DP pipeline "
+                   "(sharded feature-map hand-off) instead of single-level")
     args = p.parse_args()
 
     os.environ.setdefault(
@@ -45,16 +48,30 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from hsc_tpu import CodecConfig, MultilevelDictionary, SignalGenerator
-    from hsc_tpu.models import ConvolutionalSparseCoder
-    from hsc_tpu.parallel import DataParallelEncoder, make_mesh
-
-    cfg = CodecConfig(
-        counts=(args.counts,), scales=(args.scales,),
-        num_coefs=(args.num_coefs,), block_size=args.block_size,
+    from hsc_tpu.models import (
+        ConvolutionalSparseCoder,
+        HierarchicalConvolutionalSparseCoder,
     )
+    from hsc_tpu.parallel import (
+        DataParallelEncoder,
+        HierarchicalDataParallelEncoder,
+        make_mesh,
+    )
+
+    if args.hierarchical:
+        cfg = CodecConfig(
+            counts=(args.counts, max(args.counts // 2, 2)),
+            scales=(args.scales, 3 * args.scales),
+            num_coefs=(args.num_coefs, max(args.num_coefs // 2, 2)),
+            block_size=args.block_size,
+        )
+    else:
+        cfg = CodecConfig(
+            counts=(args.counts,), scales=(args.scales,),
+            num_coefs=(args.num_coefs,), block_size=args.block_size,
+        )
     mld = MultilevelDictionary.generate(cfg, seed=7)
     gen = SignalGenerator(mld, rates=2e-3)
-    coder = ConvolutionalSparseCoder(mld, backend="jax")
 
     ndev = len(jax.devices())
     shard_counts = [s for s in (1, 2, 4, 8, 16, 32) if s <= min(ndev, args.max_shards)]
@@ -62,14 +79,21 @@ def main():
     base_rate = None
     for s in shard_counts:
         mesh = make_mesh({"data": s}, devices=jax.devices()[:s])
-        dp = DataParallelEncoder(mesh, coder.mp)
+        if args.hierarchical:
+            hcoder = HierarchicalConvolutionalSparseCoder(mld, backend="jax")
+            hdp = HierarchicalDataParallelEncoder(mesh, hcoder)
+            encode = lambda xs: hdp.encode(xs)
+        else:
+            coder = ConvolutionalSparseCoder(mld, backend="jax")
+            dp = DataParallelEncoder(mesh, coder.mp)
+            encode = dp.encode
         nb = s * args.blocks_per_shard
         xs = gen.generate_signals(nb, cfg.block_size, seed=3)
-        dp.encode(xs)  # warm compile
+        encode(xs)  # warm compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            dp.encode(xs)
+            encode(xs)
             best = min(best, time.perf_counter() - t0)
         rate = nb / best
         if base_rate is None:

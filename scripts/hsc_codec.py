@@ -1,148 +1,13 @@
-"""Command-line codec: encode/decode/inspect HSCT streams.
-
-The compressed stream carries the full codec config (docs/FORMAT.md); the
-dictionary (learned atom waveforms) is codec state and travels as a .npz file
-(`MultilevelDictionary.save`).
-
-  # encode a 1-D float32 signal (.npy), reshaped into config-sized blocks
-  python scripts/hsc_codec.py encode --dict d.npz --input x.npy --output x.hsct
-
-  # decode back to .npy
-  python scripts/hsc_codec.py decode --dict d.npz --input x.hsct --output y.npy
-
-  # stream info + exact rate accounting
-  python scripts/hsc_codec.py info --input x.hsct
+"""Thin wrapper so `python scripts/hsc_codec.py` keeps working from a
+checkout; the CLI itself lives in `hsc_tpu.cli` (installed as `hsc-codec`).
 """
 
-from __future__ import annotations
-
-import argparse
-import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def parse_args():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("command", choices=["encode", "decode", "info"])
-    p.add_argument("--input", required=True)
-    p.add_argument("--output")
-    p.add_argument("--dict", dest="dict_path")
-    p.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
-    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
-    p.add_argument("--journal-dir", default=None)
-    p.add_argument("--metrics", default=None)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--entropy", choices=["fixed", "rice"], default=None,
-                   help="override the dictionary's stream entropy mode")
-    p.add_argument("--num-select", type=int, default=None,
-                   help="override selections per greedy sweep (nbBlocks)")
-    p.add_argument("--num-coefs", type=int, default=None,
-                   help="override the top-level coefficient budget")
-    p.add_argument("--tolerance-snr", type=float, default=None,
-                   help="stop encoding a block at this SNR (dB)")
-    p.add_argument("--decode-mode", choices=["ordered", "integer"], default=None,
-                   help="reconstruction arithmetic written into the stream "
-                   "header: 'ordered' (sequential float32) or 'integer' "
-                   "(order-free mod-2^32; decodes on the MXU)")
-    p.add_argument("--distributed", action="store_true",
-                   help="emit the distributed representation (events stored "
-                   "at the level where their atom is raw) instead of "
-                   "top-level-only streams")
-    return p.parse_args()
-
-
-def main():
-    args = parse_args()
-    if args.platform:
-        import jax
-
-        if args.platform == "cpu":
-            jax.config.update("jax_platforms", "cpu")
-        # --platform tpu: keep the environment's default TPU backend
-        # (overriding with an explicit list breaks when the platform is
-        # registered under a different name, e.g. a relay plugin)
-
-    from hsc_tpu import MultilevelDictionary
-    from hsc_tpu.analysis import corpus_rates
-    from hsc_tpu.io import unpack_corpus
-    from hsc_tpu.runtime import CorpusEncoder
-    from hsc_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()  # remote TPU compiles cost minutes; reuse them
-
-    if args.command == "info":
-        with open(args.input, "rb") as f:
-            blob = f.read()
-        cfg, blocks = unpack_corpus(blob)
-        rates = corpus_rates(cfg, blocks)
-        print(json.dumps({
-            "config": json.loads(cfg.to_json()),
-            "blocks": len(blocks),
-            "file_bytes": len(blob),
-            **{k: v for k, v in rates.items() if k != "per_level_payload_bits"},
-            "per_level_payload_bits": {
-                str(k): v for k, v in rates["per_level_payload_bits"].items()
-            },
-        }, indent=2))
-        return
-
-    if not args.dict_path:
-        raise SystemExit("--dict is required for encode/decode")
-    mld = MultilevelDictionary.load(args.dict_path)
-    overrides = {}
-    if args.entropy is not None:
-        overrides["entropy"] = args.entropy
-    if args.num_select is not None:
-        overrides["num_select"] = args.num_select
-    if args.tolerance_snr is not None:
-        overrides["tolerance_snr"] = args.tolerance_snr
-    if args.decode_mode is not None:
-        overrides["decode_mode"] = args.decode_mode
-    if args.num_coefs is not None:
-        nc = list(mld.config.num_coefs)
-        nc[-1] = args.num_coefs
-        overrides["num_coefs"] = tuple(nc)
-    if overrides:
-        import dataclasses
-
-        from hsc_tpu import MultilevelDictionary as _MLD
-
-        cfg2 = dataclasses.replace(mld.config, **overrides)
-        mld = _MLD(cfg2, mld.dicts)
-    codec = CorpusEncoder(
-        mld,
-        backend=args.backend,
-        batch_size=args.batch_size,
-        journal_dir=args.journal_dir,
-        metrics_path=args.metrics,
-        distributed=args.distributed,
-    )
-
-    if args.command == "encode":
-        x = np.load(args.input).astype(np.float32)
-        if x.ndim == 1:  # reshape into blocks, zero-padding the tail
-            bs = mld.config.block_size
-            nb = -(-x.shape[0] // bs)
-            padded = np.zeros(nb * bs, np.float32)
-            padded[: x.shape[0]] = x
-            x = padded.reshape(nb, bs)
-        blob = codec.encode(x)
-        with open(args.output, "wb") as f:
-            f.write(blob)
-        ratio = x.size * 4 / len(blob)
-        print(f"{args.output}: {len(blob)} bytes ({ratio:.1f}x vs float32)")
-    else:  # decode
-        with open(args.input, "rb") as f:
-            blob = f.read()
-        out = codec.decode(blob)
-        np.save(args.output, out)
-        print(f"{args.output}: {out.shape} float32")
-
+from hsc_tpu.cli import main
 
 if __name__ == "__main__":
     main()

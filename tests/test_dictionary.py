@@ -122,3 +122,10 @@ def test_generate_deterministic():
     a = MultilevelDictionary.generate(cfg, seed=42)
     b = MultilevelDictionary.generate(cfg, seed=42)
     np.testing.assert_array_equal(a.dicts[0], b.dicts[0])
+
+
+def test_visualize_smoke(tmp_path, mld2):
+    figs = mld2.visualize(path=str(tmp_path / "atoms"))
+    assert len(figs) == 2
+    assert (tmp_path / "atoms.level0.png").exists()
+    assert (tmp_path / "atoms.level1.png").exists()
