@@ -88,3 +88,79 @@ def test_fuzz_hierarchical_pipeline(seed):
     a = coder.reconstruct(dev[1])
     b = hierarchical_decode(dev[1], mld)
     assert a.tobytes() == b.tobytes(), cfg
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_integer_decode(seed):
+    """Random configs through the v2 integer-decode spec: XLA path bitwise
+    vs oracle, across rep_bits / amp_bits / geometry."""
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+    from hsc_tpu.ops.decode import mp_decode_integer_jax
+
+    rng = np.random.default_rng(2000 + seed)
+    k = int(rng.integers(3, 24))
+    w = int(rng.integers(6, 40))
+    block = int(rng.integers(w * 4, 2048))
+    nc = int(rng.integers(4, 80))
+    amp_bits = int(rng.integers(6, 16))
+    rep_bits = int(rng.integers(2, 13))
+    cfg = CodecConfig(
+        counts=(k,), scales=(w,), num_coefs=(nc,), block_size=block,
+        amp_bits=amp_bits, decode_mode="integer", rep_bits=rep_bits,
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 300, max_correlation=0.98)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(1e-3, 2e-2)))
+    x = gen.generate_signals(1, block, seed=seed)[0]
+    coder = ConvolutionalSparseCoder(mld, backend="jax")
+    stream = coder.encode(x)
+    rep_q, step = rep_quantize(mld.augmented(0), rep_bits)
+    oracle = mp_decode_integer(stream, rep_q, step, block)
+    n = stream.positions.shape[0]
+    pad = max(nc, 1)
+    pos = np.zeros(pad, np.int32); atm = np.zeros(pad, np.int32)
+    cds = np.zeros(pad, np.int32)
+    pos[:n], atm[:n], cds[:n] = stream.positions, stream.atoms, stream.codes
+    amp_step = np.float32(np.float32(stream.scale) * np.float32(step))
+    dev = mp_decode_integer_jax(
+        jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds), jnp.int32(n),
+        jnp.float32(amp_step), jnp.asarray(rep_q), n=block,
+    )
+    assert np.asarray(dev).tobytes() == oracle.tobytes(), cfg
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_distributed_containers(seed):
+    """Random 2-level configs through the --distributed runtime: container
+    round-trips deterministically and the merged events equal top-only."""
+    from hsc_tpu.oracle.mp import to_top_level
+    from hsc_tpu.runtime import CorpusEncoder
+
+    rng = np.random.default_rng(3000 + seed)
+    k0 = int(rng.integers(4, 14))
+    k1 = int(rng.integers(3, 8))
+    w0 = int(rng.integers(8, 20))
+    s1 = int(w0 + rng.integers(8, 40))
+    block = int(rng.integers(s1 * 4, 1536))
+    cfg = CodecConfig(
+        counts=(k0, k1), scales=(w0, s1),
+        num_coefs=(int(rng.integers(8, 48)), int(rng.integers(4, 24))),
+        block_size=block,
+        entropy="rice" if seed % 2 else "fixed",
+        decode_mode="integer" if seed % 2 == 0 else "ordered",
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 7, max_correlation=0.98)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 1e-2)))
+    xs = gen.generate_signals(3, block, seed=seed)
+    top = CorpusEncoder(mld, backend="jax", batch_size=2)
+    dist = CorpusEncoder(mld, backend="jax", batch_size=2, distributed=True)
+    blob_t = top.encode(xs)
+    blob_d = dist.encode(xs)
+    _, blocks_t = unpack_corpus(blob_t)
+    cfg_d, blocks_d = unpack_corpus(blob_d)
+    key = lambda s: sorted(
+        zip(s.positions.tolist(), s.atoms.tolist(), s.codes.tolist())
+    )
+    for bt, bd in zip(blocks_t, blocks_d):
+        assert key(to_top_level(cfg_d, bd, level=bt[0][0])) == key(bt[0][1])
+    d1 = dist.decode(blob_d)
+    assert d1.tobytes() == dist.decode(blob_d).tobytes()
