@@ -439,6 +439,26 @@ class CorpusEncoder:
             out = self.coder.reconstruct_batch(
                 [s[0][1] for s in blocks], level=top, mode=mode, rep_bits=rep_bits
             )
+        elif all(
+            [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})
+            for streams in blocks
+        ):
+            # distributed containers (at most one stream per level per block,
+            # ascending): one batched decode per level, summed per block in
+            # container order — bitwise the per-block loop below
+            out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
+            by_level: dict[int, list[tuple[int, object]]] = {}
+            for b, streams in enumerate(blocks):
+                for level, stream in streams:
+                    by_level.setdefault(level, []).append((b, stream))
+            for level in sorted(by_level):
+                ids = [b for b, _ in by_level[level]]
+                rec = self.coder.reconstruct_batch(
+                    [s for _, s in by_level[level]],
+                    level=level, mode=mode, rep_bits=rep_bits,
+                )
+                for j, b in enumerate(ids):
+                    out[b] += rec[j]
         else:
             out = np.zeros((len(blocks), cfg.block_size), dtype=np.float32)
             for b, streams in enumerate(blocks):
