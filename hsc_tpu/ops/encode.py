@@ -346,18 +346,47 @@ def mp_encode_from_init(
 def feature_map_jax(
     encoded: EncodedBlock, *, npos: int, k: int
 ) -> jax.Array:
-    """Dense coefficient map ``[Npos, K]`` from device events, accumulated in
-    stream order (sequential scan — duplicate (t, f) picks must sum in the
-    same float32 order as the oracle; SURVEY.md §3.4 hand-off)."""
-    amps = encoded.codes.astype(jnp.float32) * encoded.scale
-    n = encoded.positions.shape[0]
-    mask = jnp.arange(n) < encoded.count
+    """Dense coefficient map ``[Npos, K]`` from device events — bitwise
+    `oracle.mp.feature_map_from_events` (exact integer code sums per cell,
+    mod 2^32, times the f32 scale; order-free — SURVEY.md §3.4 hand-off).
 
-    def body(fmap, i):
-        val = jnp.where(mask[i], amps[i], jnp.float32(0))
-        fmap = fmap.at[encoded.positions[i], encoded.atoms[i]].add(val)
-        return fmap, None
+    Runs as chunked iota-compare one-hot matmuls on the MXU (no scatter, no
+    serial scan): codes split into two base-256 planes so every bf16 product
+    and f32 partial sum is an exactly-representable integer."""
+    m = encoded.positions.shape[0]
+    if m * 255 >= (1 << 24):
+        raise ValueError(
+            "feature_map_jax exactness bound: event capacity must satisfy "
+            f"m * 255 < 2^24 (got m={m})"
+        )
+    mask = jnp.arange(m) < encoded.count
+    cz = jnp.where(mask, encoded.codes, 0).astype(jnp.int32)
+    hi = cz >> 8
+    lo = cz - (hi << 8)  # [0, 255]; hi in [-128, 127] for 16-bit codes
+    onehot_a = jnp.arange(k)[None, :] == encoded.atoms[:, None]  # [m, k]
+    plane_mat = jnp.concatenate(
+        [
+            jnp.where(onehot_a, lo[:, None], 0).astype(jnp.bfloat16),
+            jnp.where(onehot_a, hi[:, None], 0).astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )  # [m, 2k]
 
-    fmap0 = jnp.zeros((npos, k), dtype=jnp.float32)
-    fmap, _ = jax.lax.scan(body, fmap0, jnp.arange(n))
-    return fmap
+    chunk = min(2048, 1 << max(npos - 1, 0).bit_length())
+    npos_pad = -(-npos // chunk) * chunk
+    pos_col = encoded.positions[None, :]
+
+    def chunk_body(_, p0):
+        iota = p0 + jnp.arange(chunk)
+        msk = (pos_col == iota[:, None]).astype(jnp.bfloat16)  # [chunk, m]
+        mm = jax.lax.dot_general(
+            msk, plane_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        return None, mm[:, :k] + (mm[:, k:] << 8)
+
+    _, parts = jax.lax.scan(
+        chunk_body, None, jnp.arange(0, npos_pad, chunk, dtype=jnp.int32)
+    )
+    f_map = parts.reshape(npos_pad, k)[:npos]
+    return f_map.astype(jnp.float32) * encoded.scale.astype(jnp.float32)

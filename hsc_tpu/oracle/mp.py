@@ -330,18 +330,31 @@ def mp_decode_integer(
 
 
 def feature_map_from_events(stream: LevelStream, npos: int, k: int) -> np.ndarray:
-    """Dense coefficient map ``[Npos, K]`` from events (stream-order adds).
+    """Dense coefficient map ``[Npos, K]`` from events.
 
     This is the level-(k) -> level-(k+1) hand-off: the map becomes the next
     level's input sequence (`hsc/modeling.py ::
     HierarchicalConvolutionalMatchingPursuit`, SURVEY.md §3.4).  Built from
     *quantized* amplitudes so every level codes decoder-visible state.
+
+    Spec (round 2): each cell is the EXACT integer sum of its codes (mod
+    2^32), times the stream's float32 scale —
+    ``fmap[p, a] = f32(int32(sum codes)) * scale``.  Order-free: cells hit
+    once equal the old stream-order float add bit-for-bit (``f32(code) *
+    scale``); duplicate hits accumulate exactly instead of rounding per add.
+    This is what lets the device hand-off run as MXU one-hot matmuls
+    (`ops.encode.feature_map_jax`) instead of a serial per-event scan.
     """
-    fmap = np.zeros((npos, k), dtype=np.float32)
-    amps = stream.amplitudes
-    for i in range(stream.positions.shape[0]):
-        fmap[int(stream.positions[i]), int(stream.atoms[i])] += amps[i]
-    return fmap
+    acc = np.zeros((npos, k), dtype=np.int64)
+    np.add.at(
+        acc,
+        (stream.positions.astype(np.int64), stream.atoms.astype(np.int64)),
+        stream.codes.astype(np.int64),
+    )
+    wrapped = _wrap_int32(acc)
+    return (wrapped.astype(np.float32) * np.float32(stream.scale)).astype(
+        np.float32
+    )
 
 
 def hierarchical_encode(
