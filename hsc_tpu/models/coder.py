@@ -132,11 +132,14 @@ class ConvolutionalMatchingPursuit:
         Pallas kernel when the fold precondition holds, else the XLA
         multi-select path.  Same emitted stream either way."""
         if self.backend.startswith("pallas"):
-            from ..ops.mp_kernels import _mp_pallas_stage, pallas_fold
+            from ..ops.mp_kernels import (
+                _mp_pallas_stage,
+                pallas_num_select_options,
+            )
 
             npos = int(scores0.shape[2])
-            fold = pallas_fold(npos, int(self.bank.shape[1]))
-            if self.settings["num_select"] in (1, fold):
+            opts = pallas_num_select_options(npos, int(self.bank.shape[1]))
+            if self.settings["num_select"] in opts:
                 return _mp_pallas_stage(
                     scores0, e0, jnp.asarray(scale), jnp.asarray(inv),
                     self.bank, self.gram_t,

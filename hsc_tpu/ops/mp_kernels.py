@@ -50,15 +50,29 @@ def _round_up(x: int, m: int) -> int:
 def pallas_fold(npos: int, w: int) -> int:
     """Fold factor (sublane rows of the selection cache) the fused kernel
     uses for a given (npos, w) geometry: the largest power of two <= 8 whose
-    folded row length still covers one update chunk.  Multi-select sweeps in
-    the kernel require ``num_select in (1, pallas_fold(npos, w))`` — callers
-    check this precondition and route other S to the XLA multi-select path."""
+    folded row length still covers one update chunk."""
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)
     fold = 8
     while fold > 1 and _round_up(npos, fold * 128) // fold < cw:
         fold //= 2
     return fold
+
+
+def pallas_num_select_options(npos: int, w: int) -> tuple[int, ...]:
+    """num_select values the fused kernel supports for this geometry:
+    1 (plain greedy), the fold factor (segments == selection-cache rows),
+    and 2x the fold factor when each row splits into two 128-aligned spec
+    segments (``l8/2`` must equal the spec ``seg_len`` for 2*fold segments —
+    true whenever the folded row length is a multiple of 256).  Callers
+    route other S to the XLA multi-select path (same emitted stream)."""
+    fold = pallas_fold(npos, w)
+    opts = [1, fold]
+    l8 = _round_up(npos, fold * 128) // fold
+    seg_len_2x = 128 * (-(-npos // (128 * fold * 2)))
+    if fold > 1 and l8 % 256 == 0 and l8 // 2 == seg_len_2x:
+        opts.append(2 * fold)
+    return tuple(dict.fromkeys(opts))
 
 
 def _mp_kernel(
@@ -284,31 +298,49 @@ def _mp_kernel(
         return new_done, new_e, new_count
 
     def step_sweep(g, done, e_res, count):
-        """One multi-select sweep for group member g: the fold rows ARE the
-        spec segments (seg_len == L8); one reduction pass yields all
-        candidates, then left-to-right guarded acceptance (oracle semantics —
+        """One multi-select sweep for group member g: the spec segments are
+        the fold rows (num_select == fold, seg_len == L8) or aligned
+        half-rows (num_select == 2*fold, seg_len == L8/2); one masked
+        reduction pass per half yields all candidates from the sweep-start
+        cache, then left-to-right guarded acceptance (oracle semantics —
         see oracle.mp.mp_encode num_select)."""
+        halves = num_select // fold  # 1 or 2 (validated above)
+        l8h = l8 // halves
         cm_fold = colmax[g, :, :l8]
-        row_max = jnp.max(cm_fold, axis=1, keepdims=True)  # [fold, 1]
-        row_col = jnp.min(
-            jnp.where(cm_fold == row_max, fold_cols_ids, big_pos),
-            axis=1,
-            keepdims=True,
-        )  # [fold, 1] — lowest in-segment position on ties
+        seg_max = []  # per half: [fold, 1]
+        seg_col = []
+        for h in range(halves):
+            if halves == 1:
+                vals = cm_fold
+            else:
+                in_half = jnp.logical_and(
+                    fold_cols_ids >= h * l8h, fold_cols_ids < (h + 1) * l8h
+                )
+                vals = jnp.where(in_half, cm_fold, jnp.float32(-1))
+            m_h = jnp.max(vals, axis=1, keepdims=True)
+            seg_max.append(m_h)
+            seg_col.append(
+                jnp.min(
+                    jnp.where(vals == m_h, fold_cols_ids, big_pos),
+                    axis=1,
+                    keepdims=True,
+                )
+            )  # lowest in-segment position on ties
         last_t = jnp.int32(-1)
         any_acc = jnp.bool_(False)
         for j in range(fold):
-            seg_ok = jnp.logical_and(
-                row_max[j, 0] >= 0, count < num_coefs
-            )
-            t_j = (j * l8 + row_col[j, 0]).astype(jnp.int32)
-            t_j = jnp.minimum(t_j, jnp.int32(npos - 1))  # empty-segment clamp
-            emit, snr_hit, e_res, count = process_candidate(
-                g, t_j, seg_ok, last_t, done, e_res, count
-            )
-            last_t = jnp.where(emit, t_j, last_t)
-            any_acc = jnp.logical_or(any_acc, emit)
-            done = jnp.logical_or(done, snr_hit)
+            for h in range(halves):
+                seg_ok = jnp.logical_and(
+                    seg_max[h][j, 0] >= 0, count < num_coefs
+                )
+                t_j = (j * l8 + seg_col[h][j, 0]).astype(jnp.int32)
+                t_j = jnp.minimum(t_j, jnp.int32(npos - 1))  # empty-seg clamp
+                emit, snr_hit, e_res, count = process_candidate(
+                    g, t_j, seg_ok, last_t, done, e_res, count
+                )
+                last_t = jnp.where(emit, t_j, last_t)
+                any_acc = jnp.logical_or(any_acc, emit)
+                done = jnp.logical_or(done, snr_hit)
         done = jnp.logical_or(done, jnp.logical_not(any_acc))
         done = jnp.logical_or(done, count >= num_coefs)
         return done, e_res, count
@@ -397,12 +429,13 @@ def _mp_pallas_stage(
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)
     fold = pallas_fold(npos, w)
-    if num_select not in (1, fold):
-        # the fused sweep requires segments == selection-cache rows; callers
-        # fall back to the XLA multi-select path for other S (check
-        # `pallas_fold` before calling to avoid the exception)
+    if num_select not in pallas_num_select_options(npos, w):
+        # the fused sweep requires segments == selection-cache rows (or
+        # aligned half-rows); callers fall back to the XLA multi-select path
+        # for other S (check `pallas_num_select_options` before calling)
         raise ValueError(
-            f"pallas num_select must be 1 or the fold factor ({fold})"
+            f"pallas num_select must be one of "
+            f"{pallas_num_select_options(npos, w)}"
         )
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold

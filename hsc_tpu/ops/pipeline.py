@@ -39,10 +39,12 @@ def encode_batches_pipelined(
     if backend == "pallas" and batches:
         # the fused kernel's multi-select sweep needs num_select in {1, fold}
         # for this geometry; other S run the XLA multi-select path
-        from .mp_kernels import pallas_fold
+        from .mp_kernels import pallas_num_select_options
 
         npos = int(batches[0].shape[1]) - int(bank.shape[1]) + 1
-        if settings["num_select"] not in (1, pallas_fold(npos, int(bank.shape[1]))):
+        if settings["num_select"] not in pallas_num_select_options(
+            npos, int(bank.shape[1])
+        ):
             backend = "jax"
     if backend == "pallas":
         from .mp_kernels import _mp_pallas_stage

@@ -48,7 +48,10 @@ class DataParallelEncoder:
             # geometry's fold factor cannot host this num_select, the XLA
             # multi-select path runs instead (decided at trace time from the
             # scores shape — same emitted stream either way)
-            from ..ops.mp_kernels import _mp_pallas_stage, pallas_fold
+            from ..ops.mp_kernels import (
+                _mp_pallas_stage,
+                pallas_num_select_options,
+            )
 
             w = int(mp.bank.shape[1])
             xla_loop = jax.vmap(
@@ -57,8 +60,8 @@ class DataParallelEncoder:
             )
 
             def loop(scores0, e0, scale, inv, bank, gram_t):
-                fold = pallas_fold(int(scores0.shape[2]), w)
-                if settings["num_select"] not in (1, fold):
+                opts = pallas_num_select_options(int(scores0.shape[2]), w)
+                if settings["num_select"] not in opts:
                     return xla_loop(scores0, e0, scale, inv, bank, gram_t)
                 return jax.shard_map(
                     lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(

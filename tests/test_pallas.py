@@ -135,3 +135,32 @@ def test_pallas_multi_select_bad_s(mld1, signal1):
     xb = jnp.asarray(signal1)[None, :, None]
     with pytest.raises(ValueError):
         mp_encode_pallas(xb, bank, gt, num_coefs=8, num_select=3, interpret=True)
+
+
+def test_pallas_double_fold_sweep_matches_jax(mld1):
+    """num_select == 2*fold (two 128-aligned spec segments per selection-
+    cache row): the half-row sweep must match the XLA multi-select path
+    bitwise.  The standard test geometry (npos=1009, W=16) folds to 4 rows
+    of 256 lanes, so ns=8 exercises the half-row path."""
+    from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+    cfg = mld1.config
+    npos = cfg.block_size - cfg.scales[0] + 1
+    opts = pallas_num_select_options(npos, cfg.scales[0])
+    assert len(opts) == 3, opts  # (1, fold, 2*fold) here
+    ns = opts[2]
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, cfg.block_size, seed=93)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = cfg.num_coefs[0]
+    pk = mp_encode_pallas(
+        xb, bank, gt, num_coefs=nc, num_select=ns, interpret=True
+    )
+    for b in range(2):
+        ref = mp_encode_jax(xb[b], bank, gt, num_coefs=nc, num_select=ns)
+        np.testing.assert_array_equal(np.asarray(pk.count[b]), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
+        np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
+        np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
