@@ -48,9 +48,11 @@ def main():
     bank = mld.augmented(0)
     gram = mld.gram(0)
     mp_encode(xs[0][:, None], bank, gram, num_coefs=64)  # warm caches
-    t0 = time.perf_counter()
-    oracle_stream = mp_encode(xs[0][:, None], bank, gram, num_coefs=512)
-    oracle_dt = time.perf_counter() - t0
+    oracle_dt = float("inf")  # best of 2 — host load spikes distort the ratio
+    for _ in range(2):
+        t0 = time.perf_counter()
+        oracle_stream = mp_encode(xs[0][:, None], bank, gram, num_coefs=512)
+        oracle_dt = min(oracle_dt, time.perf_counter() - t0)
     oracle_mbps = block_mb / oracle_dt
     log(f"oracle: {oracle_dt*1e3:.1f} ms/block -> {oracle_mbps:.2f} MB/s "
         f"({oracle_stream.positions.shape[0]} events, snr {oracle_stream.snr_db():.2f} dB)")

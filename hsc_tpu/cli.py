@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument("--journal-dir", default=None)
     p.add_argument("--metrics", default=None)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--wav-rate", type=int, default=16000,
+                   help="sample rate when --output ends in .wav")
     p.add_argument("--entropy", choices=["fixed", "rice"], default=None,
                    help="override the dictionary's stream entropy mode")
     p.add_argument("--num-select", type=int, default=None,
@@ -120,7 +122,12 @@ def main():
     )
 
     if args.command == "encode":
-        x = np.load(args.input).astype(np.float32)
+        if args.input.lower().endswith(".wav"):
+            from hsc_tpu.signal import load_wav_blocks
+
+            x = load_wav_blocks(args.input, mld.config.block_size)
+        else:
+            x = np.load(args.input).astype(np.float32)
         if x.ndim == 1:  # reshape into blocks, zero-padding the tail
             bs = mld.config.block_size
             nb = -(-x.shape[0] // bs)
@@ -136,8 +143,14 @@ def main():
         with open(args.input, "rb") as f:
             blob = f.read()
         out = codec.decode(blob)
-        np.save(args.output, out)
-        print(f"{args.output}: {out.shape} float32")
+        if args.output.lower().endswith(".wav"):
+            from hsc_tpu.signal import save_wav
+
+            save_wav(args.output, out, rate=args.wav_rate)
+            print(f"{args.output}: {out.size} samples @ {args.wav_rate} Hz")
+        else:
+            np.save(args.output, out)
+            print(f"{args.output}: {out.shape} float32")
 
 
 if __name__ == "__main__":
