@@ -198,7 +198,17 @@ def _unpack_rice(
 ) -> tuple[int, LevelStream, int]:
     level, n, scale, k = struct.unpack_from(_RICE_HEAD_FMT, data, off)
     off += RICE_HEADER_BYTES
+    if level >= cfg.num_levels:
+        raise ValueError(f"stream level {level} out of range")
     ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
+    # resource-bound sanity: every event costs at least 1 + ab + cb bits, so
+    # a corrupt count cannot force a huge allocation or a long scan
+    min_bits = n * (1 + ab + cb)
+    if min_bits > 8 * (len(data) - off):
+        raise ValueError(
+            f"rice stream claims {n} events but only "
+            f"{len(data) - off} bytes remain"
+        )
     # bound the bit-reader's window by the worst-case stream length so
     # decoding block i of a large corpus does not unpack every later block
     max_bits = n * (_RICE_ESCAPE + pb + ab + cb)
@@ -253,8 +263,14 @@ def unpack_stream(cfg: CodecConfig, data: bytes, off: int) -> tuple[int, LevelSt
         return _unpack_rice(cfg, data, off)
     level, n, scale = struct.unpack_from("<BIf", data, off)
     off += struct.calcsize("<BIf")
+    if level >= cfg.num_levels:
+        raise ValueError(f"stream level {level} out of range")
     widths = [cfg.pos_bits(level), cfg.atom_bits(level), cfg.amp_bits]
     nbytes = (n * sum(widths) + 7) // 8
+    if nbytes > len(data) - off:
+        raise ValueError(
+            f"stream claims {n} events but only {len(data) - off} bytes remain"
+        )
     vals = _unpack_bits(data[off : off + nbytes], n, widths)
     off += nbytes
     maxcode = cfg.amp_maxcode
@@ -296,6 +312,11 @@ def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelS
     off += cfg_len
     (n_blocks,) = struct.unpack_from("<I", data, off)
     off += 4
+    if n_blocks > len(data) - off:  # every block costs >= 1 byte (n_streams)
+        raise ValueError(
+            f"corpus claims {n_blocks} blocks but only "
+            f"{len(data) - off} bytes remain"
+        )
     blocks = []
     for _ in range(n_blocks):
         (n_streams,) = struct.unpack_from("<B", data, off)

