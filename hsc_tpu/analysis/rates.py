@@ -192,9 +192,8 @@ def hierarchical_rate_distortion_curve(
     """
     import dataclasses
 
-    from ..oracle.mp import mp_encode, feature_map_from_events, LevelStream
+    from ..oracle.mp import mp_encode
     from ..oracle import hierarchical_encode, hierarchical_decode
-    from ..utils import snr_db as _snr
     from ..io.bitstream import pack_stream
 
     cfg0 = mld.config

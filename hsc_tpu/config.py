@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Sequence
 
 
 def ceil_log2(n: int) -> int:

@@ -24,9 +24,6 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
-import io
-import json
-
 import numpy as np
 
 from .config import CodecConfig

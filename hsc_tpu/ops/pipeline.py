@@ -10,8 +10,6 @@ vector lands — the device stays busy while peaks are in flight.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

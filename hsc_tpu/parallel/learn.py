@@ -9,8 +9,6 @@ parameter server.  This is the sharded counterpart of
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -23,8 +23,6 @@ otherwise blockwise DP (parallel/dp.py) is strictly better.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
