@@ -43,3 +43,20 @@ def test_snr_db():
     assert snr_db(x, x) == float("inf")
     noisy = x + 0.1
     assert 19 < snr_db(x, noisy) < 21
+
+
+def test_profile_region_writes_trace(tmp_path):
+    """SURVEY §5 tracing: profile_region collects a Perfetto trace."""
+    import jax.numpy as jnp
+
+    from hsc_tpu.utils.profiling import profile_region, scope
+
+    with profile_region(str(tmp_path / "trace")):
+        with scope("test/compute"):
+            x = (jnp.arange(128.0) * 2.0).sum()
+            float(x)
+    files = list((tmp_path / "trace").rglob("*"))
+    assert any(f.is_file() for f in files)
+    # no-op path
+    with profile_region(None):
+        pass
