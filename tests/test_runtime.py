@@ -283,3 +283,37 @@ def test_encode_shard_requires_journal(mld1):
     enc = CorpusEncoder(mld1, backend="jax")
     with pytest.raises(ValueError, match="journal_dir"):
         enc.encode_shard(np.zeros((1, mld1.config.block_size), np.float32))
+
+
+def test_multihost_four_process_resume(tmp_path, mld1):
+    """4 faked processes, one crashing mid-shard: resume completes its
+    journal and assembly still emits the byte-identical container."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    n_global = 13  # ragged: nl=4 -> shards 4/4/4/1
+    xs = gen.generate_signals(n_global, mld1.config.block_size, seed=79)
+    ref = CorpusEncoder(mld1, backend="jax", batch_size=4).encode(xs)
+    from hsc_tpu.parallel.dp import DataParallelEncoder
+    from hsc_tpu.runtime import assemble_container
+
+    jdir = str(tmp_path / "mh4")
+    split = DataParallelEncoder.multihost_split(n_global, 4)
+    assert split == [(0, 4), (4, 8), (8, 12), (12, 13)]
+    # process 2 "crashes" after its first 2 blocks; others finish
+    for p, (lo, hi) in enumerate(split):
+        enc = CorpusEncoder(
+            mld1, backend="jax", batch_size=4, journal_dir=jdir,
+            process_index=p,
+        )
+        if p == 2:
+            enc.encode_shard(xs[lo : lo + 2], global_start=lo)
+        else:
+            enc.encode_shard(xs[lo:hi], global_start=lo)
+    with pytest.raises(ValueError, match="not yet encoded"):
+        assemble_container(mld1.config, jdir, n_global, 4)
+    # process 2 restarts and resumes (already-journaled blocks skipped)
+    enc2 = CorpusEncoder(
+        mld1, backend="jax", batch_size=4, journal_dir=jdir, process_index=2,
+    )
+    enc2.encode_shard(xs[8:12], global_start=8)
+    out = assemble_container(mld1.config, jdir, n_global, 4)
+    assert out == ref
