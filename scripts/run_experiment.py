@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--budget-sweep", default="8,16,32,64")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--skip-learning", action="store_true")
+    p.add_argument("--entropy", choices=["fixed", "rice"], default="fixed")
+    p.add_argument("--decode-mode", choices=["ordered", "integer"],
+                   default="ordered")
+    p.add_argument("--num-select", type=int, default=1)
     return p.parse_args()
 
 
@@ -80,7 +84,8 @@ def main():
     num_coefs = tuple(int(x) for x in args.num_coefs.split(","))
     cfg = CodecConfig(
         counts=counts, scales=scales, num_coefs=num_coefs,
-        block_size=args.block_size,
+        block_size=args.block_size, entropy=args.entropy,
+        decode_mode=args.decode_mode, num_select=args.num_select,
     )
     report: dict = {"config": json.loads(cfg.to_json())}
 
