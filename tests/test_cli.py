@@ -1,0 +1,85 @@
+"""Command-line codec surface (hsc_tpu/cli.py, installed as `hsc-codec`)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(args, check=True):
+    proc = subprocess.run(
+        [sys.executable, "-m", "hsc_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+        cwd=None,
+        timeout=300,
+    )
+    if check and proc.returncode != 0:
+        raise AssertionError(proc.stderr[-2000:])
+    return proc
+
+
+@pytest.fixture(scope="module")
+def cli_fixture(tmp_path_factory, mld1):
+    d = tmp_path_factory.mktemp("cli")
+    mld1.save(str(d / "dict.npz"))
+    from hsc_tpu import SignalGenerator
+
+    x = SignalGenerator(mld1, rates=4e-3).generate_signals(
+        3, mld1.config.block_size, seed=55
+    )
+    np.save(d / "sig.npy", x.reshape(-1))
+    return d
+
+
+def test_cli_roundtrip(cli_fixture):
+    d = cli_fixture
+    out = _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "s.hsct"), "--backend", "jax", "--platform", "cpu",
+    ])
+    assert "bytes" in out.stdout
+    out = _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "s.hsct"),
+        "--output", str(d / "r.npy"), "--backend", "jax", "--platform", "cpu",
+    ])
+    r = np.load(d / "r.npy")
+    x = np.load(d / "sig.npy").reshape(r.shape)
+    num = (x * x).sum(1)
+    den = ((x - r) ** 2).sum(1)
+    assert (10 * np.log10(num / den)).mean() > 3.0
+
+
+def test_cli_info(cli_fixture):
+    d = cli_fixture
+    out = _run(["info", "--input", str(d / "s.hsct")])
+    doc = json.loads(out.stdout)
+    assert doc["blocks"] == 3
+    assert doc["config"]["decode_mode"] == "ordered"
+    assert doc["compression_ratio"] > 1
+
+
+def test_cli_overrides_and_errors(cli_fixture):
+    d = cli_fixture
+    _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "s2.hsct"), "--backend", "jax", "--platform", "cpu",
+        "--entropy", "rice", "--decode-mode", "integer", "--num-select", "2",
+        "--num-coefs", "32",
+    ])
+    doc = json.loads(_run(["info", "--input", str(d / "s2.hsct")]).stdout)
+    assert doc["config"]["entropy"] == "rice"
+    assert doc["config"]["decode_mode"] == "integer"
+    assert doc["config"]["num_coefs"][-1] == 32
+    # bad magic
+    bad = _run(["info", "--input", str(d / "sig.npy")], check=False)
+    assert bad.returncode != 0 and "bad magic" in (bad.stderr + bad.stdout)
+    # encode without --dict
+    nodict = _run(
+        ["encode", "--input", str(d / "sig.npy"), "--output", str(d / "x")],
+        check=False,
+    )
+    assert nodict.returncode != 0
