@@ -65,7 +65,10 @@ def main():
     gram_t = jnp.asarray(np.ascontiguousarray(gram.transpose(1, 0, 2)))
     bank_d = jnp.asarray(bank)
     xb = jnp.asarray(xs)[:, :, None]
-    NBATCH = 4
+    # enough batches to amortize the environment's fixed per-dispatch
+    # round-trip (~28 ms through the TPU relay; see BASELINE.md) — the
+    # marginal per-batch rate is the steady-state number a local host sees
+    NBATCH = 16
     batches = [xb] * NBATCH
 
     def run(ns):
@@ -103,10 +106,14 @@ def main():
     )[0]
     enc = jax.device_get(enc)
     amp_step = (enc.scale.astype(np.float32) * np.float32(step)).astype(np.float32)
+    DB = 4  # 256 decode blocks amortize the fixed dispatch round-trip
     dec_args = (
-        jnp.asarray(enc.positions), jnp.asarray(enc.atoms),
-        jnp.asarray(enc.codes), jnp.asarray(enc.count),
-        jnp.asarray(amp_step), jnp.asarray(rep_q),
+        jnp.asarray(np.tile(enc.positions, (DB, 1))),
+        jnp.asarray(np.tile(enc.atoms, (DB, 1))),
+        jnp.asarray(np.tile(enc.codes, (DB, 1))),
+        jnp.asarray(np.tile(enc.count, DB)),
+        jnp.asarray(np.tile(amp_step, DB)),
+        jnp.asarray(rep_q),
     )
 
     @jax.jit
@@ -125,8 +132,8 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(_decode_checksum(*dec_args))
         best = min(best, time.perf_counter() - t0)
-    decode_mbps = B * block_mb / best
-    log(f"tpu integer decode: {best*1e3:.1f} ms for {B} blocks -> "
+    decode_mbps = DB * B * block_mb / best
+    log(f"tpu integer decode: {best*1e3:.1f} ms for {DB*B} blocks -> "
         f"{decode_mbps:.1f} MB/s")
 
     print(json.dumps({
