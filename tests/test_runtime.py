@@ -317,3 +317,18 @@ def test_multihost_four_process_resume(tmp_path, mld1):
     enc2.encode_shard(xs[8:12], global_start=8)
     out = assemble_container(mld1.config, jdir, n_global, 4)
     assert out == ref
+
+
+def test_chunked_encode_shard_assembly_single_process(tmp_path, mld1):
+    """The README 'large corpora' recipe: chunked encode_shard calls +
+    single-process assembly equal the one-shot container byte-for-byte."""
+    from hsc_tpu.runtime import assemble_container
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(9, mld1.config.block_size, seed=81)
+    ref = CorpusEncoder(mld1, backend="jax", batch_size=4).encode(xs)
+    jdir = str(tmp_path / "chunks")
+    codec = CorpusEncoder(mld1, backend="jax", batch_size=4, journal_dir=jdir)
+    for start in range(0, 9, 4):
+        codec.encode_shard(xs[start : start + 4], global_start=start)
+    assert assemble_container(mld1.config, jdir, 9, 1) == ref
