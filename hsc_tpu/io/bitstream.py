@@ -112,12 +112,27 @@ def stream_num_bytes(cfg: CodecConfig, level: int, n_events: int) -> int:
     return 1 + 4 + 4 + (payload_bits + 7) // 8
 
 
-def _rice_k(cfg: CodecConfig, level: int, n_events: int) -> int:
-    """Deterministic Rice parameter: ~log2 of the mean position delta."""
+def _rice_k(
+    cfg: CodecConfig, level: int, n_events: int, deltas: np.ndarray | None = None
+) -> int:
+    """Deterministic Rice parameter.
+
+    With the sorted position deltas available, k is chosen by exact exhaustive
+    search (the true payload size for every k <= pos_bits is a cheap
+    vectorized sum — ties break to the smaller k); the decoder reads k from
+    the stream header, so better choices are transparently compatible.
+    Without deltas, the round-1 heuristic (~log2 of the mean delta)."""
+    pb = cfg.pos_bits(level)
+    if deltas is not None and n_events > 0:
+        d = deltas.astype(np.int64)[None, :]  # [1, n]
+        ks = np.arange(pb + 1, dtype=np.int64)[:, None]  # [pb+1, 1]
+        q = d >> ks
+        bits = np.where(q >= _RICE_ESCAPE, _RICE_ESCAPE + pb, q + 1 + ks)
+        return int(np.argmin(bits.sum(axis=1)))
     npos = max(cfg.num_positions(level), 1)
     mean = max(npos // max(n_events, 1), 1)
     k = int(mean).bit_length() - 1
-    return max(0, min(k, cfg.pos_bits(level)))
+    return max(0, min(k, pb))
 
 
 def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
@@ -127,12 +142,12 @@ def _pack_rice(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
     hsc_pack_rice`) when available; the Python loop below is the
     byte-identical semantic definition."""
     n = int(stream.positions.shape[0])
-    k = _rice_k(cfg, level, n)
     order = np.argsort(stream.positions, kind="stable")
     pos = stream.positions[order].astype(np.int64)
     atm = stream.atoms[order].astype(np.uint64)
     amp = (stream.codes[order].astype(np.int64) + cfg.amp_maxcode).astype(np.uint64)
     deltas = np.diff(pos, prepend=0)
+    k = _rice_k(cfg, level, n, deltas)
     ab, pb, cb = cfg.atom_bits(level), cfg.pos_bits(level), cfg.amp_bits
 
     head = struct.pack(_RICE_HEAD_FMT, level, n, float(stream.scale), k)
