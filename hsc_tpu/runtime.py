@@ -435,10 +435,19 @@ class CorpusEncoder:
         # differ from this dictionary's config — streams are self-describing)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
         if all(len(s) == 1 and s[0][0] == top for s in blocks):
-            # common shape (one top-level stream per block): one batched decode
-            out = self.coder.reconstruct_batch(
-                [s[0][1] for s in blocks], level=top, mode=mode, rep_bits=rep_bits
-            )
+            # common shape (one top-level stream per block): batched decodes
+            # in batch_size groups — bounded device memory for huge corpora,
+            # bitwise identical per block to one giant batch
+            streams = [s[0][1] for s in blocks]
+            step = max(self.batch_size, 1)
+            parts = [
+                self.coder.reconstruct_batch(
+                    streams[i : i + step], level=top, mode=mode,
+                    rep_bits=rep_bits,
+                )
+                for i in range(0, len(streams), step)
+            ]
+            out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         elif all(
             [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})
             for streams in blocks
