@@ -72,9 +72,11 @@ def main():
     batches = [xb] * NBATCH
 
     def run(ns):
+        # window=None: all 16 batches in flight (fits HBM at ~4.4 GB of
+        # score state) so the fixed dispatch round-trip fully amortizes
         encs = encode_batches_pipelined(
             batches, bank_d, gram_t, backend="pallas", num_coefs=512,
-            num_select=ns,
+            num_select=ns, window=None,
         )
         return jax.device_get([e.count for e in encs])
 

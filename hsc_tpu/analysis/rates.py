@@ -114,6 +114,15 @@ def rate_distortion_curve(
     """(bits/sample, SNR dB) at a sweep of coefficient budgets — the
     SNR-vs-rate research curve of the reference paper (flat, level-0 form).
 
+    Distortion definition differs by mode (compare curves within one mode):
+    `use_device=False` reports the encoder-TRACKED residual energy ratio
+    (`energy0 / energy_res`, the float32 update recursion — the reference's
+    metric); `use_device=True` reports the TRUE reconstruction SNR
+    (``|x|^2 / |x - decode(prefix)|^2`` from an actual batched decode).  The
+    two agree to ~0.1 dB (closed-loop quantization keeps the tracked
+    residual honest; `tests/test_analysis.py` pins the tolerance) but are
+    not bit-comparable.
+
     `use_device=False` runs the NumPy oracle per (budget, block).
     `use_device=True` exploits the greedy prefix property (the first k
     events of a budget-N encode ARE the budget-k encode — selection never

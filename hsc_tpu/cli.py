@@ -50,7 +50,10 @@ def parse_args():
     p.add_argument("--distributed", action="store_true",
                    help="emit the distributed representation (events stored "
                    "at the level where their atom is raw) instead of "
-                   "top-level-only streams")
+                   "top-level-only streams; payload bits shrink under "
+                   "entropy='fixed', but per-level stream headers (and "
+                   "restarted rice deltas) can outweigh that on small "
+                   "sparse blocks")
     return p.parse_args()
 
 

@@ -102,6 +102,12 @@ class CodecConfig:
                     f"amp_maxcode < 2^24 (got {max(self.num_coefs)} * "
                     f"{self.amp_maxcode})"
                 )
+            # and each one-hot dot sums <= num_coefs base-256 plane values
+            if max(self.num_coefs) * 255 >= (1 << 24):
+                raise ValueError(
+                    "decode_mode='integer' requires max(num_coefs) * 255 "
+                    f"< 2^24 (got num_coefs={max(self.num_coefs)})"
+                )
 
     # ---- derived geometry -------------------------------------------------
 

@@ -188,20 +188,24 @@ class _BitReader:
         self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8, offset=off))
         self._i = 0
 
+    def _bit(self) -> int:
+        if self._i >= self._bits.shape[0]:
+            # same contract as the native coder: truncation is a ValueError
+            raise ValueError("rice payload truncated")
+        v = int(self._bits[self._i])
+        self._i += 1
+        return v
+
     def take(self, width: int) -> int:
         v = 0
         for _ in range(width):
-            v = (v << 1) | int(self._bits[self._i])
-            self._i += 1
+            v = (v << 1) | self._bit()
         return v
 
     def unary(self, cap: int) -> int:
         q = 0
-        while q < cap and self._bits[self._i] == 1:
+        while q < cap and self._bit() == 1:
             q += 1
-            self._i += 1
-        if q < cap:
-            self._i += 1  # consume the terminating zero
         return q
 
     def consumed_bytes(self) -> int:

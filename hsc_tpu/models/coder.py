@@ -243,6 +243,22 @@ class HierarchicalConvolutionalSparseCoder:
         self._rep_q_banks: dict[tuple[int, int], tuple[jax.Array, np.float32]] = {}
         self._fmap_batched = {}
 
+    def fmap_batched(self, level: int):
+        """Cached jit'd vmap of the level -> level+1 hand-off map — the ONE
+        construction shared by the serial, level-pipelined, and
+        data-parallel hierarchical paths."""
+        if level not in self._fmap_batched:
+            self._fmap_batched[level] = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        feature_map_jax,
+                        npos=self.cfg.num_positions(level),
+                        k=self.mld.num_atoms(level),
+                    )
+                )
+            )
+        return self._fmap_batched[level]
+
     def _rep_q(self, level: int, rep_bits: int):
         key = (level, int(rep_bits))
         if key not in self._rep_q_banks:
@@ -289,18 +305,7 @@ class HierarchicalConvolutionalSparseCoder:
             enc = self.coders[level].mp.compute_coefficients_batch(seq)
             levels.append(enc)
             if level + 1 < cfg.num_levels:
-                key = level
-                if key not in self._fmap_batched:
-                    self._fmap_batched[key] = jax.jit(
-                        jax.vmap(
-                            functools.partial(
-                                feature_map_jax,
-                                npos=cfg.num_positions(level),
-                                k=self.mld.num_atoms(level),
-                            )
-                        )
-                    )
-                seq = self._fmap_batched[key](enc)
+                seq = self.fmap_batched(level)(enc)
         levels = [jax.device_get(e) for e in levels]
         nb = levels[0].count.shape[0]
         out = []

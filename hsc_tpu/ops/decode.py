@@ -96,6 +96,14 @@ def mp_decode_integer_jax(
     k, w, c = rep_q.shape
     npos = n - w + 1
     m = positions.shape[0]
+    if m * 255 >= (1 << 24):
+        # the one-hot dots sum <= m plane values of < 2^8 each; beyond this
+        # the f32 partial sums stop being exact integers (CodecConfig
+        # enforces the same bound for decode_mode='integer')
+        raise ValueError(
+            "integer decode exactness bound: event capacity must satisfy "
+            f"m * 255 < 2^24 (got m={m})"
+        )
     mask = jnp.arange(m) < count
     cz = jnp.where(mask, codes, 0).astype(jnp.int32)
     crow = (cz[:, None, None] * rep_q[atoms]).reshape(m, w * c)

@@ -23,11 +23,15 @@ def encode_batches_pipelined(
     gram_t: jax.Array,
     *,
     backend: str = "pallas",
+    window: int | None = 8,
     **settings,
 ):
     """Encode a list of ``[B, N, C]`` batches; returns a list of EncodedBlock.
 
     `settings` are the static encode settings (num_coefs, amp_bits, ...).
+    `window` bounds how many batches' init score buffers are live at once
+    (None = dispatch everything up front — maximal overlap, unbounded
+    memory).
     """
     defaults = dict(
         amp_bits=16, tolerance_snr=None, singleton_weight=1.0, n_raw=None,
@@ -35,8 +39,8 @@ def encode_batches_pipelined(
     )
     settings = {**defaults, **settings}
     if backend == "pallas" and batches:
-        # the fused kernel's multi-select sweep needs num_select in {1, fold}
-        # for this geometry; other S run the XLA multi-select path
+        # the fused kernel supports num_select in {1, fold, 2*fold} for this
+        # geometry (pallas_num_select_options); other S run the XLA path
         from .mp_kernels import pallas_num_select_options
 
         npos = int(batches[0].shape[1]) - int(bank.shape[1]) + 1
@@ -59,79 +63,73 @@ def encode_batches_pipelined(
         def loop(s0, e0, sc, iv):
             return vloop(s0, e0, sc, iv, bank, gram_t)
 
-    # stage 1: dispatch every init; start async copies of the peaks
-    inits = []
-    for xb in batches:
-        s0, e0, peak = encode_init_batched(xb, bank)
-        try:
-            peak.copy_to_host_async()
-        except AttributeError:
-            pass
-        inits.append((s0, e0, peak))
-    # stage 2: as peaks land, compute host steps and dispatch the loops
     outs = []
     amp_bits = settings.get("amp_bits", 16)
-    for s0, e0, peak in inits:
-        scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
-        outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
-    return outs
-
-
-def encode_hierarchical_batches_pipelined(batches, coder):
-    """Level-pipelined hierarchical corpus encode (SURVEY.md §2.3 P3).
-
-    The serial path (`HierarchicalConvolutionalSparseCoder.encode_batch`
-    per batch) stalls the device on one host quantizer round trip per
-    (level, batch).  Here every level runs as its own batch pipeline: all
-    init convs are dispatched before any host step, so the device encodes
-    batch i while batch i-1's peak vector is in flight, and each batch's
-    quantized feature-map hand-off is dispatched asynchronously — level k+1
-    inits start while level k's later batches still compute.  Per-block
-    streams are bitwise identical to the serial path (same three stage
-    executables, same hand-off jit).
-
-    `coder`: a models.coder.HierarchicalConvolutionalSparseCoder.
-    `batches`: list of ``[B, N, C]`` device arrays.
-    Returns ``outs[level][batch_index]`` EncodedBlocks (device).
-    """
-    import functools as _functools
-
-    cfg = coder.cfg
-    n_levels = cfg.num_levels
-    outs = [[None] * len(batches) for _ in range(n_levels)]
-    seqs = list(batches)
-    for level in range(n_levels):
-        mp = coder.coders[level].mp
+    step = len(batches) if window is None else max(window, 1)
+    for w0 in range(0, len(batches), step):
+        # stage 1: dispatch the window's inits; start async peak copies
         inits = []
-        for xb in seqs:
-            s0, e0, peak = encode_init_batched(xb, mp.bank)
+        for xb in batches[w0 : w0 + step]:
+            s0, e0, peak = encode_init_batched(xb, bank)
             try:
                 peak.copy_to_host_async()
             except AttributeError:
                 pass
             inits.append((s0, e0, peak))
-        next_seqs = []
-        amp_bits = mp.settings["amp_bits"]
-        for bi, (s0, e0, peak) in enumerate(inits):
+        # stage 2: as peaks land, compute host steps and dispatch the loops
+        for s0, e0, peak in inits:
             scale, inv = quantizer_steps(
                 np.asarray(jax.device_get(peak)), amp_bits
             )
-            enc = mp.loop_stage(s0, e0, scale, inv)
-            outs[level][bi] = enc
-            if level + 1 < n_levels:
-                key = level
-                if key not in coder._fmap_batched:
-                    from .encode import feature_map_jax
+            outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
+    return outs
 
-                    coder._fmap_batched[key] = jax.jit(
-                        jax.vmap(
-                            _functools.partial(
-                                feature_map_jax,
-                                npos=cfg.num_positions(level),
-                                k=coder.mld.num_atoms(level),
-                            )
-                        )
-                    )
-                next_seqs.append(coder._fmap_batched[key](enc))
-        seqs = next_seqs
+
+def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
+    """Level-pipelined hierarchical corpus encode (SURVEY.md §2.3 P3).
+
+    The serial path (`HierarchicalConvolutionalSparseCoder.encode_batch`
+    per batch) stalls the device on one host quantizer round trip per
+    (level, batch).  Here every level runs as its own batch pipeline: all
+    of a window's init convs are dispatched before any host step, so the
+    device encodes batch i while batch i-1's peak vector is in flight, and
+    each batch's quantized feature-map hand-off is dispatched
+    asynchronously — level k+1 inits start while level k's later batches
+    still compute.  Per-block streams are bitwise identical to the serial
+    path (same three stage executables, same hand-off jit).
+
+    `window` bounds device memory: at most `window` batches' init score
+    buffers are live at once, so arbitrarily large corpora encode in
+    bounded memory (overlap is lost only at window boundaries).
+
+    `coder`: a models.coder.HierarchicalConvolutionalSparseCoder.
+    `batches`: list of ``[B, N, C]`` device arrays.
+    Returns ``outs[level][batch_index]`` EncodedBlocks (device).
+    """
+    cfg = coder.cfg
+    n_levels = cfg.num_levels
+    outs = [[] for _ in range(n_levels)]
+    for w0 in range(0, len(batches), max(window, 1)):
+        seqs = list(batches[w0 : w0 + max(window, 1)])
+        for level in range(n_levels):
+            mp = coder.coders[level].mp
+            inits = []
+            for xb in seqs:
+                s0, e0, peak = encode_init_batched(xb, mp.bank)
+                try:
+                    peak.copy_to_host_async()
+                except AttributeError:
+                    pass
+                inits.append((s0, e0, peak))
+            next_seqs = []
+            amp_bits = mp.settings["amp_bits"]
+            for s0, e0, peak in inits:
+                scale, inv = quantizer_steps(
+                    np.asarray(jax.device_get(peak)), amp_bits
+                )
+                enc = mp.loop_stage(s0, e0, scale, inv)
+                outs[level].append(enc)
+                if level + 1 < n_levels:
+                    next_seqs.append(coder.fmap_batched(level)(enc))
+            seqs = next_seqs
     return outs

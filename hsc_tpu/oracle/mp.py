@@ -412,8 +412,12 @@ def to_distributed(
     original relative order (stable partition), so decode — per-level
     stream-order adds, levels in container order — is deterministic.
     Positions are unchanged and always representable (num_positions grows
-    downward).  Rate effect: demoted events pay the (smaller) lower-level
-    atom_bits; containers are never larger in payload.
+    downward).  Rate effect: with entropy='fixed', demoted events pay the
+    (smaller) lower-level atom_bits, so payload bits never grow; per-stream
+    header overhead (9-10 bytes per extra level) and — with entropy='rice' —
+    the restart of position-delta coding per stream can still make small
+    sparse containers slightly LARGER overall.  The representation choice is
+    about structure (events at their native level), not guaranteed rate.
     """
     if level is None:
         level = cfg.num_levels - 1

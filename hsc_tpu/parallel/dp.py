@@ -155,10 +155,13 @@ class DataParallelEncoder:
         [p*nl, min((p+1)*nl, n_global)).  Every process pads its shard to nl
         blocks, so per-device shard sizes stay uniform (SPMD requirement)
         even when the corpus does not divide evenly — the ragged tail is
-        zero-padded and dropped after gather."""
+        zero-padded and dropped after gather.  Both endpoints clamp to
+        n_global, so trailing processes of a short corpus own valid empty
+        ranges (never inverted ones)."""
         nl = -(-n_global // max(n_processes, 1))
         return [
-            (p * nl, min((p + 1) * nl, n_global)) for p in range(n_processes)
+            (min(p * nl, n_global), min((p + 1) * nl, n_global))
+            for p in range(n_processes)
         ]
 
     def encode_multihost(self, local_blocks: np.ndarray, n_global: int) -> EncodedBlock:
@@ -228,7 +231,6 @@ class HierarchicalDataParallelEncoder:
         self.levels = [
             DataParallelEncoder(mesh, c.mp, axis=axis) for c in coder.coders
         ]
-        self._fmap: dict[int, object] = {}
 
     @property
     def num_shards(self) -> int:
@@ -236,20 +238,9 @@ class HierarchicalDataParallelEncoder:
 
     def _feature_map(self, level: int, enc: EncodedBlock) -> jax.Array:
         """Sharded [B, npos, k] hand-off map; blocks are independent so the
-        vmap keeps the batch sharding with no collectives."""
-        if level not in self._fmap:
-            from ..ops.encode import feature_map_jax
-
-            self._fmap[level] = jax.jit(
-                jax.vmap(
-                    functools.partial(
-                        feature_map_jax,
-                        npos=self.cfg.num_positions(level),
-                        k=self.coder.mld.num_atoms(level),
-                    )
-                )
-            )
-        return self._fmap[level](enc)
+        vmap keeps the batch sharding with no collectives (shared jit:
+        models.coder.HierarchicalConvolutionalSparseCoder.fmap_batched)."""
+        return self.coder.fmap_batched(level)(enc)
 
     def encode(self, xs: np.ndarray) -> list[EncodedBlock]:
         """Encode ``[B, block_size]`` blocks; returns one batched (host)

@@ -139,6 +139,62 @@ class CorpusEncoder:
             )
         return blocks
 
+    def _emit_batched(
+        self,
+        enc,
+        ids: list[int],
+        payloads: dict[int, bytes],
+        offset: int,
+    ) -> tuple[int, int, list[float]]:
+        """Trim a host-side batched EncodedBlock to per-block streams, pack,
+        journal under global ids — the one epilogue shared by the pipelined,
+        hierarchical, and data-parallel encode paths.  Returns
+        (events, payload_bytes, per-block SNRs dB)."""
+        from .oracle.mp import LevelStream
+
+        events = 0
+        total_bytes = 0
+        snrs: list[float] = []
+        for j, bid in enumerate(ids):
+            n = int(enc.count[j])
+            stream = LevelStream(
+                positions=np.asarray(enc.positions[j][:n], np.int32),
+                atoms=np.asarray(enc.atoms[j][:n], np.int32),
+                codes=np.asarray(enc.codes[j][:n], np.int32),
+                scale=np.float32(enc.scale[j]),
+                energy0=float(enc.energy0[j]),
+                energy_res=float(enc.energy_res[j]),
+            )
+            payload = self._pack_block(stream)
+            payloads[bid] = payload
+            total_bytes += len(payload)
+            events += n
+            snrs.append(stream.snr_db())
+            if self.journal:
+                self.journal.record(bid + offset, payload)
+        return events, total_bytes, snrs
+
+    def _log_encode_metrics(
+        self, nblk: int, dt: float, events: int, total_bytes: int,
+        snrs: list[float], **extra,
+    ) -> None:
+        self.metrics.log(
+            {
+                "kind": "encode_batch",
+                "blocks": nblk,
+                "seconds": dt,
+                "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
+                "events": events,
+                "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
+                "mean_snr_db": float(
+                    np.mean([v for v in snrs if np.isfinite(v)] or [0])
+                ),
+                "bits_per_sample": 8.0 * total_bytes
+                / max(nblk * self.cfg.block_size, 1),
+                **extra,
+            }
+        )
+
     def _compute_payloads(
         self,
         blocks: np.ndarray,
@@ -165,13 +221,12 @@ class CorpusEncoder:
         import jax.numpy as jnp
 
         from .ops.pipeline import encode_hierarchical_batches_pipelined
-        from .oracle.mp import LevelStream
 
         batches = []
         id_groups = []
         for start in range(0, len(todo), self.batch_size):
             ids = todo[start : start + self.batch_size]
-            batches.append(jnp.asarray(blocks[ids][:, :, None]))
+            batches.append(blocks[ids][:, :, None])  # host; uploaded per window
             id_groups.append(ids)
         if not batches:
             return
@@ -179,38 +234,15 @@ class CorpusEncoder:
         outs = encode_hierarchical_batches_pipelined(batches, self.coder)
         top_encs = [jax.device_get(e) for e in outs[top]]
         dt = time.perf_counter() - t0
-        nblk = len(todo)
         events = 0
         total_bytes = 0
+        snrs: list[float] = []
         for ids, enc in zip(id_groups, top_encs):
-            for j, bid in enumerate(ids):
-                n = int(enc.count[j])
-                stream = LevelStream(
-                    positions=np.asarray(enc.positions[j][:n], np.int32),
-                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
-                    codes=np.asarray(enc.codes[j][:n], np.int32),
-                    scale=np.float32(enc.scale[j]),
-                    energy0=float(enc.energy0[j]),
-                    energy_res=float(enc.energy_res[j]),
-                )
-                payload = self._pack_block(stream)
-                payloads[bid] = payload
-                total_bytes += len(payload)
-                events += n
-                if self.journal:
-                    self.journal.record(bid + offset, payload)
-        self.metrics.log(
-            {
-                "kind": "encode_batch",
-                "blocks": nblk,
-                "seconds": dt,
-                "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
-                "events": events,
-                "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
-                "bits_per_sample": 8.0 * total_bytes
-                / max(nblk * self.cfg.block_size, 1),
-            }
-        )
+            e, b, sn = self._emit_batched(enc, ids, payloads, offset)
+            events += e
+            total_bytes += b
+            snrs += sn
+        self._log_encode_metrics(len(todo), dt, events, total_bytes, snrs)
 
     def encode(self, blocks: np.ndarray) -> bytes:
         """Encode ``[B, block_size]`` into the container format; resumable —
@@ -309,8 +341,6 @@ class CorpusEncoder:
         blocks through the HierarchicalDataParallelEncoder — every level runs
         under the mesh, hand-off maps stay sharded (original order
         preserved)."""
-        from .oracle.mp import LevelStream
-
         top = self.cfg.num_levels - 1
         super_batch = self.batch_size * self.dp.num_shards
         for start in range(0, len(todo), super_batch):
@@ -319,35 +349,12 @@ class CorpusEncoder:
             encs = self.dp.encode(blocks[ids])
             enc = encs[top]
             dt = time.perf_counter() - t0
-            events = 0
-            total_bytes = 0
-            for j, bid in enumerate(ids):
-                n = int(enc.count[j])
-                stream = LevelStream(
-                    positions=np.asarray(enc.positions[j][:n], np.int32),
-                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
-                    codes=np.asarray(enc.codes[j][:n], np.int32),
-                    scale=np.float32(enc.scale[j]),
-                    energy0=float(enc.energy0[j]),
-                    energy_res=float(enc.energy_res[j]),
-                )
-                payload = self._pack_block(stream)
-                payloads[bid] = payload
-                total_bytes += len(payload)
-                events += n
-                if self.journal:
-                    self.journal.record(bid + offset, payload)
-            self.metrics.log(
-                {
-                    "kind": "encode_batch",
-                    "shards": self.dp.num_shards,
-                    "blocks": len(ids),
-                    "seconds": dt,
-                    "mb_per_s": len(ids) * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
-                    "events": events,
-                    "bits_per_sample": 8.0 * total_bytes
-                    / max(len(ids) * self.cfg.block_size, 1),
-                }
+            events, total_bytes, snrs = self._emit_batched(
+                enc, ids, payloads, offset
+            )
+            self._log_encode_metrics(
+                len(ids), dt, events, total_bytes, snrs,
+                shards=self.dp.num_shards,
             )
 
     def _encode_single_level_pipelined(
@@ -360,7 +367,6 @@ class CorpusEncoder:
         import jax.numpy as jnp
 
         from .ops.pipeline import encode_batches_pipelined
-        from .oracle.mp import LevelStream
 
         mp = self.coder.coders[0].mp
         batches = []
@@ -370,7 +376,7 @@ class CorpusEncoder:
             xb = blocks[ids]
             if xb.ndim == 2:
                 xb = xb[:, :, None]
-            batches.append(jnp.asarray(xb))
+            batches.append(xb)  # host; uploaded per pipeline window
             id_groups.append(ids)
         if not batches:
             return
@@ -383,37 +389,15 @@ class CorpusEncoder:
 
         encs = [jax.device_get(e) for e in encs]
         dt = time.perf_counter() - t0
-        nblk = len(todo)
         events = 0
         total_bytes = 0
+        snrs: list[float] = []
         for ids, enc in zip(id_groups, encs):
-            for j, bid in enumerate(ids):
-                n = int(enc.count[j])
-                stream = LevelStream(
-                    positions=np.asarray(enc.positions[j][:n], np.int32),
-                    atoms=np.asarray(enc.atoms[j][:n], np.int32),
-                    codes=np.asarray(enc.codes[j][:n], np.int32),
-                    scale=np.float32(enc.scale[j]),
-                    energy0=float(enc.energy0[j]),
-                    energy_res=float(enc.energy_res[j]),
-                )
-                payload = self._pack_block(stream)
-                payloads[bid] = payload
-                total_bytes += len(payload)
-                events += n
-                if self.journal:
-                    self.journal.record(bid + offset, payload)
-        self.metrics.log(
-            {
-                "kind": "encode_batch",
-                "blocks": nblk,
-                "seconds": dt,
-                "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
-                "events": events,
-                "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
-                "bits_per_sample": 8.0 * total_bytes / max(nblk * self.cfg.block_size, 1),
-            }
-        )
+            e, b, sn = self._emit_batched(enc, ids, payloads, offset)
+            events += e
+            total_bytes += b
+            snrs += sn
+        self._log_encode_metrics(len(todo), dt, events, total_bytes, snrs)
 
     # -- decode -------------------------------------------------------------
 

@@ -332,3 +332,16 @@ def test_chunked_encode_shard_assembly_single_process(tmp_path, mld1):
     for start in range(0, 9, 4):
         codec.encode_shard(xs[start : start + 4], global_start=start)
     assert assemble_container(mld1.config, jdir, 9, 1) == ref
+
+
+def test_multihost_split_never_inverted():
+    """Regression: a short corpus over many processes yields empty trailing
+    ranges, never inverted (lo > hi) ones."""
+    from hsc_tpu.parallel.dp import DataParallelEncoder
+
+    for n_global in (1, 3, 10, 17):
+        for n_proc in (1, 2, 4, 8, 16):
+            split = DataParallelEncoder.multihost_split(n_global, n_proc)
+            assert all(lo <= hi for lo, hi in split), (n_global, n_proc, split)
+            assert split[0][0] == 0 and split[-1][1] == n_global
+            assert sum(hi - lo for lo, hi in split) == n_global
