@@ -2,6 +2,7 @@ from .kmeans import (
     ConvolutionalDictionaryLearner,
     extract_windows,
     kmeans_assign_update,
+    kmeans_refine_device,
 )
 from .online import OnlineConvolutionalDictionaryLearner
 from .trainer import MultilevelTrainer
@@ -10,6 +11,7 @@ __all__ = [
     "ConvolutionalDictionaryLearner",
     "extract_windows",
     "kmeans_assign_update",
+    "kmeans_refine_device",
     "MultilevelTrainer",
     "OnlineConvolutionalDictionaryLearner",
 ]

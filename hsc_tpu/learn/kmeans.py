@@ -110,6 +110,46 @@ def kmeans_assign_update(windows: jax.Array, centroids: jax.Array) -> KMeansStat
     )
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def kmeans_refine_device(
+    windows: jax.Array, cents0: jax.Array, *, iterations: int
+) -> tuple[jax.Array, jax.Array]:
+    """Device-resident k-means refinement: ``iterations`` full steps
+    (assign -> normalize update -> dead-atom reset) under one `lax.scan`,
+    returning ``(centroids, objectives[iterations])``.
+
+    One dispatch for the whole training loop — the host-stepped form pays a
+    host round trip per iteration (ruinous through a high-RTT device link,
+    and a needless sync anywhere).  Same algorithm as the host loop in
+    `ConvolutionalDictionaryLearner.train` (reference C8 semantics,
+    SURVEY.md §3.5): dead centroids are reseeded from the windows the
+    current dictionary represents worst (smallest ``|best score|``),
+    skipping near-silent windows, lowest dead slot taking the worst window.
+    """
+    m = windows.shape[0]
+    wnorms = jnp.linalg.norm(windows, axis=1)
+    # reset candidates ranked once per step: silent windows sort to the end
+    valid = jnp.sum((wnorms > 1e-6).astype(jnp.int32))
+
+    def step(cents, _):
+        stats = kmeans_assign_update(windows, cents)
+        new = normalize_centroids(stats.sums, stats.counts, cents)
+        dead = stats.counts <= 0  # [K]
+        keys = jnp.where(wnorms > 1e-6, stats.best_abs, jnp.float32(jnp.inf))
+        order = jnp.argsort(keys, stable=True)  # worst-represented first
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per dead slot
+        use = jnp.logical_and(dead, rank < jnp.minimum(valid, m))
+        widx = order[jnp.clip(rank, 0, m - 1)]  # [K] gather, no scatter
+        wrow = windows[widx]
+        wrow = wrow / jnp.maximum(
+            jnp.linalg.norm(wrow, axis=1, keepdims=True), 1e-8
+        )
+        cents = jnp.where(use[:, None], wrow, new)
+        return cents, stats.objective
+
+    return jax.lax.scan(step, cents0, None, length=iterations)
+
+
 def normalize_centroids(
     sums: jax.Array, counts: jax.Array, old: jax.Array, eps: float = 1e-8
 ) -> jax.Array:
@@ -191,7 +231,7 @@ class ConvolutionalDictionaryLearner:
         cents = jnp.asarray(self._init_centroids(flat))
         self.objective_history = []
         if mesh is not None:
-            from ..parallel.learn import distributed_kmeans_step
+            from ..parallel.learn import distributed_kmeans
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             shards = int(mesh.shape[mesh_axis])
@@ -199,35 +239,24 @@ class ConvolutionalDictionaryLearner:
             if pad:
                 # zero windows assign somewhere with score 0 and contribute
                 # zero to sums; counts inflate harmlessly (normalize is
-                # direction-only)
+                # direction-only), and silent windows are excluded from
+                # dead-atom reseeding by the wnorms > 1e-6 filter
                 flat = np.concatenate([flat, np.zeros((pad, flat.shape[1]), flat.dtype)])
             wdev = jax.device_put(
                 jnp.asarray(flat), NamedSharding(mesh, P(mesh_axis, None))
             )
-            for _ in range(self.iterations):
-                cents, obj = distributed_kmeans_step(mesh, wdev, cents, axis=mesh_axis)
-                self.objective_history.append(float(obj))
+            cents, objs = distributed_kmeans(
+                mesh, wdev, cents, self.iterations, axis=mesh_axis
+            )
+            cents, objs = jax.device_get((cents, objs))
+            self.objective_history = [float(o) for o in objs]
         else:
-            wdev = jnp.asarray(flat)
-            wnorms = np.linalg.norm(flat, axis=1)
-            for _ in range(self.iterations):
-                stats = kmeans_assign_update(wdev, cents)
-                cents = normalize_centroids(stats.sums, stats.counts, cents)
-                # dead-atom reset (reference C8 "handle dead atoms"):
-                # deterministically reseed dead centroids from the windows the
-                # current dictionary represents WORST (smallest |best score|),
-                # skipping near-silent windows
-                counts = np.asarray(stats.counts)
-                dead = np.nonzero(counts <= 0)[0]
-                if dead.size:
-                    best_abs = np.asarray(stats.best_abs)
-                    order = np.argsort(best_abs, kind="stable")
-                    order = order[wnorms[order] > 1e-6][: dead.size]
-                    if order.size:
-                        cents_np = np.asarray(cents)
-                        for di, wi in zip(dead, order):
-                            v = flat[wi]
-                            cents_np[di] = v / max(np.linalg.norm(v), 1e-8)
-                        cents = jnp.asarray(cents_np)
-                self.objective_history.append(float(stats.objective))
+            # whole refinement loop device-resident: one dispatch, no per-
+            # iteration host sync (the host-stepped equivalent is in git
+            # history; `kmeans_refine_device` runs the same algorithm)
+            cents, objs = kmeans_refine_device(
+                jnp.asarray(flat), cents, iterations=self.iterations
+            )
+            cents, objs = jax.device_get((cents, objs))
+            self.objective_history = [float(o) for o in objs]
         return np.asarray(cents).reshape(self.k, self.window, self.channels)

@@ -51,10 +51,72 @@ def distributed_kmeans(
     iterations: int,
     axis: str = "data",
 ):
-    """Full sharded k-means refinement; returns (centroids, objective_history)."""
-    c = jnp.asarray(centroids0)
-    history = []
-    for _ in range(iterations):
-        c, obj = distributed_kmeans_step(mesh, windows, c, axis=axis)
-        history.append(float(obj))
-    return c, history
+    """Full sharded k-means refinement — one dispatch for all iterations.
+
+    The whole loop (assign -> psum -> normalize -> dead-atom reset) runs as a
+    `lax.scan` inside one `shard_map`: no per-iteration host sync, and the
+    same dead-atom semantics as the local `kmeans_refine_device` (dead slots
+    reseed from the globally worst-represented non-silent windows).  The
+    cross-shard row fetch is a local one-hot matmul + `psum` (never an XLA
+    scatter).  Every value after a `psum` is replicated computation, so the
+    dictionaries stay bit-identical on all replicas.
+
+    Returns (centroids [K, D] replicated, objectives [iterations]).
+    """
+    shards = int(mesh.shape[axis])
+    m_total = windows.shape[0]
+    if m_total % shards:
+        raise ValueError("windows must divide the mesh axis (pad first)")
+
+    def body(w, c0):
+        my = jax.lax.axis_index(axis)
+        mloc = w.shape[0]
+        m = mloc * shards
+        wnorms_l = jnp.linalg.norm(w, axis=1)
+        live_l = wnorms_l > 1e-6
+        valid = jax.lax.psum(jnp.sum(live_l.astype(jnp.int32)), axis)
+
+        def step(c, _):
+            stats = kmeans_assign_update(w, c)
+            sums = jax.lax.psum(stats.sums, axis)
+            counts = jax.lax.psum(stats.counts, axis)
+            obj = jax.lax.psum(stats.objective, axis)
+            new = normalize_centroids(sums, counts, c)
+            dead = counts <= 0  # [K]
+            keys_l = jnp.where(live_l, stats.best_abs, jnp.float32(jnp.inf))
+            # global window order is shard-major (axis-0 contiguous shards),
+            # so the tiled all_gather reproduces the unsharded key vector
+            keys = jax.lax.all_gather(keys_l, axis, tiled=True)  # [M]
+            order = jnp.argsort(keys, stable=True)
+            rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+            use = jnp.logical_and(dead, rank < jnp.minimum(valid, m))
+            widx = order[jnp.clip(rank, 0, m - 1)]  # [K] global indices
+            lidx = widx - my * mloc
+            own = jnp.logical_and(lidx >= 0, lidx < mloc)
+            onehot = (
+                jax.nn.one_hot(
+                    jnp.clip(lidx, 0, mloc - 1), mloc, dtype=jnp.float32
+                )
+                * own[:, None]
+            )  # [K, mloc]
+            rows = jax.lax.psum(
+                jnp.dot(onehot, w, preferred_element_type=jnp.float32), axis
+            )  # [K, D] replicated
+            rows = rows / jnp.maximum(
+                jnp.linalg.norm(rows, axis=1, keepdims=True), 1e-8
+            )
+            c = jnp.where(use[:, None], rows, new)
+            return c, obj
+
+        return jax.lax.scan(step, c0, None, length=iterations)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return fn(jnp.asarray(windows), jnp.asarray(centroids0))

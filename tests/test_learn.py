@@ -70,6 +70,52 @@ def test_kmeans_recovers_planted_atoms():
     assert matched >= 6, f"only {matched}/8 atoms recovered"
 
 
+def test_refine_device_matches_host_steps():
+    """The scanned device-resident refinement must implement the same
+    algorithm as stepping (assign -> normalize -> dead-atom reset) from the
+    host, including which windows reseed which dead slots."""
+    import jax.numpy as jnp
+    from hsc_tpu.learn.kmeans import (
+        kmeans_assign_update,
+        kmeans_refine_device,
+        normalize_centroids,
+    )
+
+    rng = np.random.default_rng(4)
+    flat = rng.standard_normal((256, 16)).astype(np.float32)
+    flat[17] = 0  # a silent window that must never be a reset seed
+    k = 6
+    cents0 = rng.standard_normal((k, 16)).astype(np.float32)
+    cents0 /= np.linalg.norm(cents0, axis=1, keepdims=True)
+    cents0[3] = 0  # dies immediately: forces the reset path
+    iters = 7
+
+    dev_c, dev_obj = kmeans_refine_device(
+        jnp.asarray(flat), jnp.asarray(cents0), iterations=iters
+    )
+
+    wnorms = np.linalg.norm(flat, axis=1)
+    cents = jnp.asarray(cents0)
+    host_obj = []
+    for _ in range(iters):
+        stats = kmeans_assign_update(jnp.asarray(flat), cents)
+        cents = normalize_centroids(stats.sums, stats.counts, cents)
+        counts = np.asarray(stats.counts)
+        dead = np.nonzero(counts <= 0)[0]
+        if dead.size:
+            order = np.argsort(np.asarray(stats.best_abs), kind="stable")
+            order = order[wnorms[order] > 1e-6][: dead.size]
+            cents_np = np.array(cents)
+            for di, wi in zip(dead, order):
+                v = flat[wi]
+                cents_np[di] = v / max(np.linalg.norm(v), 1e-8)
+            cents = jnp.asarray(cents_np)
+        host_obj.append(float(stats.objective))
+
+    np.testing.assert_allclose(np.asarray(dev_c), np.asarray(cents), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev_obj), host_obj, rtol=1e-6)
+
+
 def test_samples_algorithm():
     cfg = make_test_config(counts=(6,), scales=(12,), num_coefs=(16,), block_size=256)
     mld = MultilevelDictionary.generate(cfg, seed=1)

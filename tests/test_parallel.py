@@ -123,6 +123,33 @@ def test_distributed_kmeans_matches_single(mesh):
     assert obj > 0
 
 
+def test_distributed_kmeans_loop_matches_local(mesh):
+    """The scanned sharded refinement (incl. dead-atom reset) matches the
+    local device loop at 8-way sharding (psum reassociation ulps allowed)."""
+    from hsc_tpu.learn.kmeans import kmeans_refine_device
+    from hsc_tpu.parallel.learn import distributed_kmeans
+
+    rng = np.random.default_rng(3)
+    windows = rng.standard_normal((256, 32)).astype(np.float32)
+    windows[5] = 0  # silent window: excluded from reseeding on both paths
+    cents = rng.standard_normal((8, 32)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents[2] = 0  # dead on the first step: exercises the reset path
+
+    loc_c, loc_obj = kmeans_refine_device(
+        jnp.asarray(windows), jnp.asarray(cents), iterations=6
+    )
+    dist_c, dist_obj = distributed_kmeans(
+        mesh, jnp.asarray(windows), jnp.asarray(cents), 6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist_c), np.asarray(loc_c), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist_obj), np.asarray(loc_obj), rtol=1e-5
+    )
+
+
 def test_tp_encode_matches_single_device(mld1):
     """Atom-sharded (tensor-parallel) encode over 4 devices emits the
     single-device stream (16 atoms / 4 shards)."""
