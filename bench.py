@@ -138,12 +138,34 @@ def main():
     log(f"tpu integer decode: {best*1e3:.1f} ms for {DB*B} blocks -> "
         f"{decode_mbps:.1f} MB/s")
 
+    # ---- dictionary learning: device-resident k-means refinement ----------
+    from hsc_tpu.learn.kmeans import kmeans_refine_device
+
+    M, D, K, ITERS = 65536, 32, 64, 20
+    lrng = np.random.default_rng(0)
+    lflat = lrng.standard_normal((M, D)).astype(np.float32)
+    lcents = lrng.standard_normal((K, D)).astype(np.float32)
+    lcents /= np.linalg.norm(lcents, axis=1, keepdims=True)
+    wdev, cdev = jnp.asarray(lflat), jnp.asarray(lcents)
+    t0 = time.perf_counter()
+    jax.device_get(kmeans_refine_device(wdev, cdev, iterations=ITERS))
+    log(f"kmeans refine compile+run: {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(kmeans_refine_device(wdev, cdev, iterations=ITERS))
+        best = min(best, time.perf_counter() - t0)
+    learn_rate = M * ITERS / best / 1e6
+    log(f"tpu kmeans refine: {best*1e3:.1f} ms for {ITERS} iters over {M} "
+        f"windows -> {learn_rate:.1f} M window-assignments/s")
+
     print(json.dumps({
         "metric": "encode throughput, 16k-sample/64-atom/512-coef blocks (flagship config, 8-way multi-select sweeps)",
         "value": round(tpu_mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(tpu_mbps / oracle_mbps, 2),
         "decode_integer_mb_s": round(decode_mbps, 2),
+        "learn_mwindows_s": round(learn_rate, 2),
     }))
 
 
