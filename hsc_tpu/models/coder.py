@@ -380,6 +380,22 @@ class HierarchicalConvolutionalSparseCoder:
     ) -> np.ndarray:
         """Batched reconstruction ``[B, block_size]`` — one jit'd vmap, per
         block byte-identical to `reconstruct`."""
+        return np.asarray(
+            self.reconstruct_batch_device(
+                streams, level=level, mode=mode, rep_bits=rep_bits
+            )
+        )[:, :, 0]
+
+    def reconstruct_batch_device(
+        self,
+        streams: list[LevelStream],
+        level: int | None = None,
+        mode: str | None = None,
+        rep_bits: int | None = None,
+    ):
+        """`reconstruct_batch` without the host sync: returns the device
+        array ``[B, block_size, C]`` so corpus decoders can overlap one
+        chunk's device->host copy with the next chunk's compute."""
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
@@ -402,12 +418,11 @@ class HierarchicalConvolutionalSparseCoder:
         if mode == "integer":
             rep_q, step = self._rep_q(level, rep_bits or cfg.rep_bits)
             amp_step = (scl * np.float32(step)).astype(np.float32)
-            out = mp_decode_integer_batch_jax(
+            return mp_decode_integer_batch_jax(
                 jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
                 jnp.asarray(cnt), jnp.asarray(amp_step), rep_q,
                 n=cfg.block_size,
             )
-            return np.asarray(out)[:, :, 0]
         args = (
             jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
             jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],
@@ -415,10 +430,8 @@ class HierarchicalConvolutionalSparseCoder:
         if jax.default_backend() in ("tpu", "axon"):
             from ..ops.decode_kernel import mp_decode_pallas
 
-            out = mp_decode_pallas(*args, n=cfg.block_size)
-        else:
-            out = mp_decode_batch_jax(*args, n=cfg.block_size)
-        return np.asarray(out)[:, :, 0]
+            return mp_decode_pallas(*args, n=cfg.block_size)
+        return mp_decode_batch_jax(*args, n=cfg.block_size)
 
     # -- corpus pipeline (config 2/3 of BASELINE.json) ----------------------
 

@@ -65,23 +65,40 @@ def encode_batches_pipelined(
 
     outs = []
     amp_bits = settings.get("amp_bits", 16)
-    step = len(batches) if window is None else max(window, 1)
-    for w0 in range(0, len(batches), step):
-        # stage 1: dispatch the window's inits; start async peak copies
-        inits = []
-        for xb in batches[w0 : w0 + step]:
-            s0, e0, peak = encode_init_batched(xb, bank)
-            try:
-                peak.copy_to_host_async()
-            except AttributeError:
-                pass
-            inits.append((s0, e0, peak))
-        # stage 2: as peaks land, compute host steps and dispatch the loops
-        for s0, e0, peak in inits:
-            scale, inv = quantizer_steps(
-                np.asarray(jax.device_get(peak)), amp_bits
-            )
-            outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
+    n = len(batches)
+    step = n if window is None else max(window, 1)
+    # Sliding pipeline (no inter-window barrier): at most `window` batches'
+    # init score buffers are live (+1 transiently while a loop dispatches);
+    # batch i+window's host->device upload and init conv are dispatched
+    # right after batch i's loop, so uploads overlap loop compute instead of
+    # waiting for the window to drain.  Per-batch arithmetic is untouched —
+    # streams are bitwise identical to the barriered form.
+    from collections import deque
+
+    inits: deque = deque()
+    bi = 0
+
+    def _dispatch_init():
+        nonlocal bi
+        xb = jax.device_put(batches[bi])  # async upload (no-op if on device)
+        s0, e0, peak = encode_init_batched(xb, bank)
+        try:
+            peak.copy_to_host_async()
+        except AttributeError:
+            pass
+        inits.append((s0, e0, peak))
+        bi += 1
+
+    while bi < n and len(inits) < step:
+        _dispatch_init()
+    while inits:
+        s0, e0, peak = inits.popleft()
+        scale, inv = quantizer_steps(
+            np.asarray(jax.device_get(peak)), amp_bits
+        )
+        outs.append(loop(s0, e0, jnp.asarray(scale), jnp.asarray(inv)))
+        if bi < n:
+            _dispatch_init()
     return outs
 
 

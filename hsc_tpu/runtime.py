@@ -232,7 +232,9 @@ class CorpusEncoder:
             return
         t0 = time.perf_counter()
         outs = encode_hierarchical_batches_pipelined(batches, self.coder)
-        top_encs = [jax.device_get(e) for e in outs[top]]
+        from .utils import device_get_pipelined
+
+        top_encs = device_get_pipelined(outs[top])
         dt = time.perf_counter() - t0
         events = 0
         total_bytes = 0
@@ -385,9 +387,9 @@ class CorpusEncoder:
         encs = encode_batches_pipelined(
             batches, mp.bank, mp.gram_t, backend=backend, **mp.settings
         )
-        import jax
+        from .utils import device_get_pipelined
 
-        encs = [jax.device_get(e) for e in encs]
+        encs = device_get_pipelined(encs)
         dt = time.perf_counter() - t0
         events = 0
         total_bytes = 0
@@ -421,16 +423,34 @@ class CorpusEncoder:
         if all(len(s) == 1 and s[0][0] == top for s in blocks):
             # common shape (one top-level stream per block): batched decodes
             # in batch_size groups — bounded device memory for huge corpora,
-            # bitwise identical per block to one giant batch
+            # bitwise identical per block to one giant batch.  Chunks run as
+            # a sliding pipeline (<= 4 in flight): each chunk's device->host
+            # copy overlaps the next chunks' compute instead of serializing
+            # dispatch / compute / fetch per chunk.
+            from collections import deque
+
             streams = [s[0][1] for s in blocks]
             step = max(self.batch_size, 1)
-            parts = [
-                self.coder.reconstruct_batch(
+            pending: deque = deque()
+            parts = []
+
+            def _drain():
+                parts.append(np.asarray(pending.popleft())[:, :, 0])
+
+            for i in range(0, len(streams), step):
+                dev = self.coder.reconstruct_batch_device(
                     streams[i : i + step], level=top, mode=mode,
                     rep_bits=rep_bits,
                 )
-                for i in range(0, len(streams), step)
-            ]
+                try:
+                    dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending.append(dev)
+                if len(pending) >= 4:
+                    _drain()
+            while pending:
+                _drain()
             out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         elif all(
             [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})

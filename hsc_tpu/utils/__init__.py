@@ -13,6 +13,22 @@ import time
 import numpy as np
 
 
+def device_get_pipelined(trees):
+    """``jax.device_get`` a list of pytrees, starting every device->host
+    copy asynchronously before the first blocking get — one overlapped
+    transfer burst instead of a serial fetch (and serial per-fetch round
+    trips) per tree."""
+    import jax
+
+    for t in trees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+    return [jax.device_get(t) for t in trees]
+
+
 def normalize(x: np.ndarray, axis=None, eps: float = 1e-12) -> np.ndarray:
     """Scale `x` to unit L2 norm (over `axis`, or globally if None).
 
