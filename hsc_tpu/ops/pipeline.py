@@ -123,30 +123,59 @@ def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
     `batches`: list of ``[B, N, C]`` device arrays.
     Returns ``outs[level][batch_index]`` EncodedBlocks (device).
     """
+    from collections import deque
+
     cfg = coder.cfg
     n_levels = cfg.num_levels
     outs = [[] for _ in range(n_levels)]
-    for w0 in range(0, len(batches), max(window, 1)):
-        seqs = list(batches[w0 : w0 + max(window, 1)])
-        for level in range(n_levels):
-            mp = coder.coders[level].mp
-            inits = []
-            for xb in seqs:
-                s0, e0, peak = encode_init_batched(xb, mp.bank)
-                try:
-                    peak.copy_to_host_async()
-                except AttributeError:
-                    pass
-                inits.append((s0, e0, peak))
-            next_seqs = []
-            amp_bits = mp.settings["amp_bits"]
-            for s0, e0, peak in inits:
-                scale, inv = quantizer_steps(
-                    np.asarray(jax.device_get(peak)), amp_bits
-                )
-                enc = mp.loop_stage(s0, e0, scale, inv)
-                outs[level].append(enc)
-                if level + 1 < n_levels:
-                    next_seqs.append(coder.fmap_batched(level)(enc))
-            seqs = next_seqs
+    # Sliding dataflow (no window barrier): each level keeps a FIFO of
+    # pending inits; level 0 is fed while earlier batches' loops and
+    # hand-offs still run, and deeper levels drain first so hand-off maps
+    # are consumed as soon as their peaks land.  At most `window` inits are
+    # live per level (the deepest levels stay near-empty by construction).
+    # Per-batch executables and their order within each level are unchanged,
+    # so streams stay bitwise identical to the serial path.
+    pend = [deque() for _ in range(n_levels)]
+    bi = 0
+    n = len(batches)
+
+    def _push(level, xb):
+        mp = coder.coders[level].mp
+        s0, e0, peak = encode_init_batched(xb, mp.bank)
+        try:
+            peak.copy_to_host_async()
+        except AttributeError:
+            pass
+        pend[level].append((s0, e0, peak))
+
+    def _pop(level):
+        mp = coder.coders[level].mp
+        s0, e0, peak = pend[level].popleft()
+        scale, inv = quantizer_steps(
+            np.asarray(jax.device_get(peak)), mp.settings["amp_bits"]
+        )
+        enc = mp.loop_stage(s0, e0, scale, inv)
+        outs[level].append(enc)
+        if level + 1 < n_levels:
+            _push(level + 1, coder.fmap_batched(level)(enc))
+
+    w = max(window, 1)
+    while bi < n or any(pend):
+        if bi < n and len(pend[0]) < w:
+            _push(0, jax.device_put(batches[bi]))
+            bi += 1
+            continue
+        # Drain policy: a level's oldest peak is only fetched once that
+        # level has a full window buffered (the fetch then hits an init
+        # dispatched >= window-1 pops ago, already landed) — fetching a
+        # just-dispatched deep init would expose one device round trip per
+        # pop.  Otherwise drain shallowest-first, which keeps feeding the
+        # deeper buffers.
+        lvl = next(
+            (k for k in reversed(range(n_levels)) if len(pend[k]) >= w),
+            None,
+        )
+        if lvl is None:
+            lvl = next(k for k in range(n_levels) if pend[k])
+        _pop(lvl)
     return outs
