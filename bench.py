@@ -108,7 +108,7 @@ def main():
     )[0]
     enc = jax.device_get(enc)
     amp_step = (enc.scale.astype(np.float32) * np.float32(step)).astype(np.float32)
-    DB = 4  # 256 decode blocks amortize the fixed dispatch round-trip
+    DB = 32  # 2048 decode blocks amortize the fixed dispatch round-trip
     dec_args = (
         jnp.asarray(np.tile(enc.positions, (DB, 1))),
         jnp.asarray(np.tile(enc.atoms, (DB, 1))),
