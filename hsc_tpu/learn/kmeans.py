@@ -110,6 +110,41 @@ def kmeans_assign_update(windows: jax.Array, centroids: jax.Array) -> KMeansStat
     )
 
 
+# windows with norm below this are "silent" and never used to reseed a dead
+# atom (reference dead-atom handling; shared by the local and distributed
+# refinement loops)
+SILENT_NORM = 1e-6
+
+
+def dead_reseed_plan(
+    dead: jax.Array, keys: jax.Array, valid: jax.Array, m: int
+) -> tuple[jax.Array, jax.Array]:
+    """Rank dead centroid slots against the worst-represented windows.
+
+    ``keys [M]`` is per-window ``|best score|`` with silent windows parked at
+    +inf; ``valid`` is the number of non-silent windows.  Returns
+    ``(use [K] bool — reseed this slot, widx [K] — window index per slot)``:
+    the lowest dead slot takes the worst window, stable ties.  Shared by
+    `kmeans_refine_device` and `parallel.learn.distributed_kmeans` so the
+    reseed semantics cannot drift between the local and distributed forms.
+    """
+    order = jnp.argsort(keys, stable=True)  # worst-represented first
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per dead slot
+    use = jnp.logical_and(dead, rank < jnp.minimum(valid, m))
+    widx = order[jnp.clip(rank, 0, m - 1)]  # [K] gather, no scatter
+    return use, widx
+
+
+def apply_reseed(
+    new: jax.Array, use: jax.Array, rows: jax.Array
+) -> jax.Array:
+    """Replace reseeded slots with their unit-normalized window rows."""
+    rows = rows / jnp.maximum(
+        jnp.linalg.norm(rows, axis=1, keepdims=True), 1e-8
+    )
+    return jnp.where(use[:, None], rows, new)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def kmeans_refine_device(
     windows: jax.Array, cents0: jax.Array, *, iterations: int
@@ -129,22 +164,16 @@ def kmeans_refine_device(
     m = windows.shape[0]
     wnorms = jnp.linalg.norm(windows, axis=1)
     # reset candidates ranked once per step: silent windows sort to the end
-    valid = jnp.sum((wnorms > 1e-6).astype(jnp.int32))
+    live = wnorms > SILENT_NORM
+    valid = jnp.sum(live.astype(jnp.int32))
 
     def step(cents, _):
         stats = kmeans_assign_update(windows, cents)
         new = normalize_centroids(stats.sums, stats.counts, cents)
         dead = stats.counts <= 0  # [K]
-        keys = jnp.where(wnorms > 1e-6, stats.best_abs, jnp.float32(jnp.inf))
-        order = jnp.argsort(keys, stable=True)  # worst-represented first
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per dead slot
-        use = jnp.logical_and(dead, rank < jnp.minimum(valid, m))
-        widx = order[jnp.clip(rank, 0, m - 1)]  # [K] gather, no scatter
-        wrow = windows[widx]
-        wrow = wrow / jnp.maximum(
-            jnp.linalg.norm(wrow, axis=1, keepdims=True), 1e-8
-        )
-        cents = jnp.where(use[:, None], wrow, new)
+        keys = jnp.where(live, stats.best_abs, jnp.float32(jnp.inf))
+        use, widx = dead_reseed_plan(dead, keys, valid, m)
+        cents = apply_reseed(new, use, windows[widx])
         return cents, stats.objective
 
     return jax.lax.scan(step, cents0, None, length=iterations)

@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..learn.kmeans import kmeans_assign_update, normalize_centroids
+from ..learn.kmeans import (
+    SILENT_NORM,
+    apply_reseed,
+    dead_reseed_plan,
+    kmeans_assign_update,
+    normalize_centroids,
+)
 
 
 def distributed_kmeans_step(
@@ -73,7 +79,7 @@ def distributed_kmeans(
         mloc = w.shape[0]
         m = mloc * shards
         wnorms_l = jnp.linalg.norm(w, axis=1)
-        live_l = wnorms_l > 1e-6
+        live_l = wnorms_l > SILENT_NORM
         valid = jax.lax.psum(jnp.sum(live_l.astype(jnp.int32)), axis)
 
         def step(c, _):
@@ -87,10 +93,7 @@ def distributed_kmeans(
             # global window order is shard-major (axis-0 contiguous shards),
             # so the tiled all_gather reproduces the unsharded key vector
             keys = jax.lax.all_gather(keys_l, axis, tiled=True)  # [M]
-            order = jnp.argsort(keys, stable=True)
-            rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-            use = jnp.logical_and(dead, rank < jnp.minimum(valid, m))
-            widx = order[jnp.clip(rank, 0, m - 1)]  # [K] global indices
+            use, widx = dead_reseed_plan(dead, keys, valid, m)
             lidx = widx - my * mloc
             own = jnp.logical_and(lidx >= 0, lidx < mloc)
             onehot = (
@@ -102,10 +105,7 @@ def distributed_kmeans(
             rows = jax.lax.psum(
                 jnp.dot(onehot, w, preferred_element_type=jnp.float32), axis
             )  # [K, D] replicated
-            rows = rows / jnp.maximum(
-                jnp.linalg.norm(rows, axis=1, keepdims=True), 1e-8
-            )
-            c = jnp.where(use[:, None], rows, new)
+            c = apply_reseed(new, use, rows)
             return c, obj
 
         return jax.lax.scan(step, c0, None, length=iterations)

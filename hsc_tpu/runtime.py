@@ -217,9 +217,6 @@ class CorpusEncoder:
         # multi-level corpora: level-pipelined batches (SURVEY.md §2.3 P3) —
         # all of a level's init convs are dispatched before any host
         # quantizer step, hand-off maps dispatch asynchronously
-        import jax
-        import jax.numpy as jnp
-
         from .ops.pipeline import encode_hierarchical_batches_pipelined
 
         batches = []
@@ -366,8 +363,6 @@ class CorpusEncoder:
         payloads: dict[int, bytes],
         offset: int = 0,
     ) -> None:
-        import jax.numpy as jnp
-
         from .ops.pipeline import encode_batches_pipelined
 
         mp = self.coder.coders[0].mp
@@ -451,7 +446,14 @@ class CorpusEncoder:
                     _drain()
             while pending:
                 _drain()
-            out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            if not parts:  # empty container (zero blocks)
+                out = np.zeros((0, cfg.block_size), dtype=np.float32)
+            else:
+                out = (
+                    np.concatenate(parts, axis=0)
+                    if len(parts) > 1
+                    else parts[0]
+                )
         elif all(
             [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})
             for streams in blocks

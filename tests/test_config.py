@@ -61,3 +61,20 @@ def test_validation():
         CodecConfig(counts=(4, 4), scales=(16,), num_coefs=(8, 8))
     with pytest.raises(ValueError):
         CodecConfig(counts=(4, 4), scales=(32, 16), num_coefs=(8, 8))
+
+
+def test_validation_feature_map_capacity():
+    """Multi-level configs must satisfy the hand-off exactness bound at
+    construction (num_coefs[level] * 255 < 2^24 for non-top levels) —
+    regardless of decode_mode — instead of failing mid-encode."""
+    big = (1 << 24) // 255 + 1
+    with pytest.raises(ValueError, match="feature-map"):
+        CodecConfig(
+            counts=(4, 4), scales=(16, 48), num_coefs=(big, 8),
+            decode_mode="ordered",
+        )
+    # top-level budget is not hand-off-bounded in ordered mode
+    CodecConfig(
+        counts=(4, 4), scales=(16, 48), num_coefs=(8, big),
+        decode_mode="ordered",
+    )

@@ -63,6 +63,15 @@ def test_journal_config_fingerprint(tmp_path):
     j3.close()
 
 
+def test_corpus_encoder_empty_corpus_roundtrip(mld1):
+    """A zero-block container encodes and decodes to an empty [0, N] array."""
+    enc = CorpusEncoder(mld1, backend="jax")
+    blob = enc.encode(np.zeros((0, mld1.config.block_size), np.float32))
+    out = enc.decode(blob)
+    assert out.shape == (0, mld1.config.block_size)
+    assert out.dtype == np.float32
+
+
 def test_corpus_encoder_rejects_wrong_block_size(mld1):
     enc = CorpusEncoder(mld1, backend="jax")
     bad = np.zeros((2, mld1.config.block_size + 1), np.float32)
