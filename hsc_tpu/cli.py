@@ -12,6 +12,11 @@ dictionary (learned atom waveforms) is codec state and travels as a .npz file
 
   # stream info + exact rate accounting
   python scripts/hsc_codec.py info --input x.hsct
+
+  # learn a dictionary from a corpus (the reference's multilevel training
+  # driver, SURVEY.md §3.5, as a CLI verb)
+  python scripts/hsc_codec.py learn --input corpus.npy --output d.npz \\
+      --counts 32,16 --scales 32,96 --learn-coefs 256,128
 """
 
 from __future__ import annotations
@@ -24,9 +29,26 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("command", choices=["encode", "decode", "info"])
+    p.add_argument("command", choices=["encode", "decode", "info", "learn"])
     p.add_argument("--input", required=True)
     p.add_argument("--output")
+    # -- learn-only options (dictionary geometry + training knobs) ----------
+    p.add_argument("--counts", default=None,
+                   help="learn: comma-separated atoms per level, e.g. 32,16")
+    p.add_argument("--scales", default=None,
+                   help="learn: comma-separated atom extents (samples), "
+                   "strictly increasing, e.g. 32,96")
+    p.add_argument("--block-size", type=int, default=16384,
+                   help="learn: samples per coded block")
+    p.add_argument("--learn-coefs", default=None,
+                   help="learn: per-level coefficient budgets (defaults to "
+                   "block_size/32 per level)")
+    p.add_argument("--algorithm", choices=["kmean", "samples"], default="kmean")
+    p.add_argument("--num-windows", type=int, default=4096)
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="learn: resume level-by-level from this directory")
     p.add_argument("--dict", dest="dict_path")
     p.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
@@ -75,6 +97,10 @@ def main():
     from hsc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()  # remote TPU compiles cost minutes; reuse them
+
+    if args.command == "learn":
+        _learn(args)
+        return
 
     if args.command == "info":
         with open(args.input, "rb") as f:
@@ -154,6 +180,76 @@ def main():
         else:
             np.save(args.output, out)
             print(f"{args.output}: {out.shape} float32")
+
+
+def _load_corpus_blocks(path: str, block_size: int) -> np.ndarray:
+    """Load .npy/.wav input as ``[B, block_size]`` float32 blocks (1-D inputs
+    are zero-padded into whole blocks — same convention as encode)."""
+    if path.lower().endswith(".wav"):
+        from hsc_tpu.signal import load_wav_blocks
+
+        return load_wav_blocks(path, block_size)
+    x = np.load(path).astype(np.float32)
+    if x.ndim == 1:
+        nb = -(-x.shape[0] // block_size)
+        padded = np.zeros(nb * block_size, np.float32)
+        padded[: x.shape[0]] = x
+        x = padded.reshape(nb, block_size)
+    if x.shape[1] != block_size:
+        raise SystemExit(
+            f"corpus blocks are {x.shape[1]} samples; --block-size is "
+            f"{block_size}"
+        )
+    return x
+
+
+def _learn(args) -> None:
+    """`learn` verb: the reference's multilevel training driver (SURVEY.md
+    §3.5 — alternate ConvolutionalDictionaryLearner.train with MP encoding
+    per level) producing a saved dictionary the encode/decode verbs consume."""
+    from hsc_tpu.config import CodecConfig
+    from hsc_tpu.learn.trainer import MultilevelTrainer
+
+    if not args.output:
+        raise SystemExit("--output (dictionary .npz path) is required for learn")
+    if not args.counts or not args.scales:
+        raise SystemExit("--counts and --scales are required for learn")
+    counts = tuple(int(v) for v in args.counts.split(","))
+    scales = tuple(int(v) for v in args.scales.split(","))
+    if args.learn_coefs is not None:
+        num_coefs = tuple(int(v) for v in args.learn_coefs.split(","))
+    else:
+        num_coefs = tuple(max(args.block_size // 32, 1) for _ in counts)
+    overrides = {}
+    if args.entropy is not None:
+        overrides["entropy"] = args.entropy
+    if args.num_select is not None:
+        overrides["num_select"] = args.num_select
+    if args.decode_mode is not None:
+        overrides["decode_mode"] = args.decode_mode
+    cfg = CodecConfig(
+        counts=counts,
+        scales=scales,
+        block_size=args.block_size,
+        num_coefs=num_coefs,
+        tolerance_snr=args.tolerance_snr,
+        **overrides,
+    )
+    blocks = _load_corpus_blocks(args.input, cfg.block_size)
+    trainer = MultilevelTrainer(
+        cfg,
+        algorithm=args.algorithm,
+        num_windows=args.num_windows,
+        iterations=args.iterations,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    mld = trainer.train(blocks)
+    mld.save(args.output)
+    print(
+        f"{args.output}: {cfg.num_levels} level(s), counts={cfg.counts}, "
+        f"scales={cfg.scales} (learned from {blocks.shape[0]} blocks)"
+    )
 
 
 if __name__ == "__main__":

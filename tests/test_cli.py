@@ -83,3 +83,37 @@ def test_cli_overrides_and_errors(cli_fixture):
         check=False,
     )
     assert nodict.returncode != 0
+
+
+def test_cli_learn_then_roundtrip(cli_fixture):
+    """`learn` produces a dictionary the encode/decode verbs accept end to
+    end (the reference's training-driver surface as a CLI verb)."""
+    d = cli_fixture
+    _run([
+        "learn", "--input", str(d / "sig.npy"),
+        "--output", str(d / "learned.npz"), "--platform", "cpu",
+        "--counts", "8", "--scales", "16", "--block-size", "1024",
+        "--learn-coefs", "48", "--num-windows", "256", "--iterations", "4",
+    ])
+    _run([
+        "encode", "--dict", str(d / "learned.npz"),
+        "--input", str(d / "sig.npy"), "--output", str(d / "sl.hsct"),
+        "--backend", "jax", "--platform", "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "learned.npz"),
+        "--input", str(d / "sl.hsct"), "--output", str(d / "rl.npy"),
+        "--backend", "jax", "--platform", "cpu",
+    ])
+    r = np.load(d / "rl.npy")
+    x = np.load(d / "sig.npy").reshape(r.shape)
+    num = (x * x).sum(1)
+    den = ((x - r) ** 2).sum(1)
+    assert (10 * np.log10(num / den)).mean() > 2.0  # learned dict explains
+    # geometry errors are clean SystemExits, not tracebacks
+    noargs = _run(
+        ["learn", "--input", str(d / "sig.npy"), "--output", str(d / "y.npz")],
+        check=False,
+    )
+    assert noargs.returncode != 0
+    assert "--counts" in (noargs.stderr + noargs.stdout)
