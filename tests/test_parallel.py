@@ -96,6 +96,41 @@ def test_sp_encode_matches_single_device(seq_mesh, mld1):
     assert np.float32(sp.scale) == np.float32(single.scale)
 
 
+def test_sp_encode_snr_stop(seq_mesh, mld1):
+    """SP with an SNR stop: the stream reaches the target and — in the
+    typical non-borderline case — matches the single-device stream event for
+    event.  (The documented caveat in parallel/sp.py: the psum'd e0 can
+    differ from the single-device reduction by ulps, which can flip a stop
+    decision exactly at the threshold; this config stops well clear of it.)"""
+    cfg = mld1.config
+    gen = SignalGenerator(mld1, rates=4e-3)
+    x = gen.generate_signals(1, cfg.block_size, seed=62)[0]
+    bank = mld1.augmented(0)
+    gram_t = np.ascontiguousarray(mld1.gram(0).transpose(1, 0, 2))
+    tol = 6.0
+
+    single = mp_encode_jax(
+        jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0], tolerance_snr=tol,
+    )
+    sp = sp_encode(
+        seq_mesh, jnp.asarray(x)[:, None], jnp.asarray(bank),
+        jnp.asarray(gram_t), num_coefs=cfg.num_coefs[0], tolerance_snr=tol,
+    )
+    n = int(single.count)
+    assert 0 < n < cfg.num_coefs[0], "config must stop on SNR, not budget"
+    e0 = float(np.sum(np.square(x, dtype=np.float32)))
+    e_res = float(sp.energy_res)
+    assert 10 * np.log10(e0 / e_res) >= tol
+    assert int(sp.count) == n
+    np.testing.assert_array_equal(
+        np.asarray(sp.positions[:n]), np.asarray(single.positions[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.codes[:n]), np.asarray(single.codes[:n])
+    )
+
+
 def test_sp_encode_rejects_bad_shapes(seq_mesh, mld1):
     bank = mld1.augmented(0)
     gram_t = mld1.gram(0).transpose(1, 0, 2)
