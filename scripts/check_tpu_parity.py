@@ -173,6 +173,43 @@ def main():
         int_dev.tobytes() == int_ref.tobytes(),
     )
 
+    # ---- 6. three-level hierarchy on hardware -----------------------------
+    cfg3 = make_test_config(
+        counts=(16, 8, 4), scales=(16, 48, 112),
+        num_coefs=(128, 64, 32), block_size=4096,
+    )
+    mld3 = MultilevelDictionary.generate(cfg3, seed=21)
+    gen3 = SignalGenerator(
+        mld3,
+        rates=[np.full(16, 2e-3), np.full(8, 5e-4), np.full(4, 2e-4)],
+    )
+    xs3 = gen3.generate_signals(2, cfg3.block_size, seed=9)
+    coder3 = HierarchicalConvolutionalSparseCoder(mld3)
+    t0 = time.time()
+    batch3 = coder3.encode_batch(xs3)
+    print(f"3-level encode: {time.time()-t0:.1f}s (incl. compile)", flush=True)
+    ok = True
+    for b in range(2):
+        refs = oracle_hierarchical_pinned(xs3[b], mld3)
+        for level in range(3):
+            d, r = batch3[b][level], refs[level]
+            ok &= (
+                np.array_equal(d.positions, r.positions)
+                and np.array_equal(d.codes, r.codes)
+                and np.float32(d.scale) == r.scale
+            )
+    check("3-level device streams == pinned oracle (all levels)", ok)
+
+    reps3 = mld3.representations(2)[:, :, None]
+    rec3_dev = np.stack([coder3.reconstruct(batch3[b][2]) for b in range(2)])
+    rec3_ref = np.stack(
+        [mp_decode(batch3[b][2], reps3, cfg3.block_size)[:, 0] for b in range(2)]
+    )
+    check(
+        "3-level TPU decode bytes == oracle decode bytes",
+        rec3_dev.tobytes() == rec3_ref.tobytes(),
+    )
+
     print(f"\n{'ALL CHECKS PASSED' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}")
     return 1 if FAILURES else 0
 

@@ -36,6 +36,31 @@ def test_pallas_matches_jax_path(mld1):
         np.testing.assert_array_equal(np.asarray(pk.scale[b]), np.asarray(ref.scale))
 
 
+def test_pallas_unaligned_atom_count():
+    """K not a multiple of 8 (e.g. hierarchy levels whose raw+singleton count
+    is odd-sized): the kernel pads the atom axis with silent rows — streams
+    must match the XLA path exactly.  (On hardware, unpadded K breaks the
+    sublane-aligned VMEM DMA — caught by check_tpu_parity.py check 6.)"""
+    from hsc_tpu import MultilevelDictionary, make_test_config
+
+    cfg = make_test_config(counts=(13,), scales=(16,), num_coefs=(48,))
+    mld = MultilevelDictionary.generate(cfg, seed=33)
+    assert mld.augmented(0).shape[0] % 8 != 0
+    gen = SignalGenerator(mld, rates=4e-3)
+    xs = gen.generate_signals(2, cfg.block_size, seed=92)
+    bank = jnp.asarray(mld.augmented(0))
+    gt = _gram_t(mld)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = cfg.num_coefs[0]
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, interpret=True)
+    for b in range(2):
+        ref = mp_encode_jax(xb[b], bank, gt, num_coefs=nc)
+        np.testing.assert_array_equal(np.asarray(pk.count[b]), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
+        np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
+        np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
+
+
 def test_pallas_snr_stop(mld1, signal1):
     bank = jnp.asarray(mld1.augmented(0))
     gt = _gram_t(mld1)
