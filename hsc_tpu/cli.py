@@ -120,6 +120,8 @@ def main():
 
     if not args.dict_path:
         raise SystemExit("--dict is required for encode/decode")
+    if not args.output:
+        raise SystemExit("--output is required for encode/decode")
     mld = MultilevelDictionary.load(args.dict_path)
     overrides = {}
     if args.entropy is not None:
@@ -151,18 +153,7 @@ def main():
     )
 
     if args.command == "encode":
-        if args.input.lower().endswith(".wav"):
-            from hsc_tpu.signal import load_wav_blocks
-
-            x = load_wav_blocks(args.input, mld.config.block_size)
-        else:
-            x = np.load(args.input).astype(np.float32)
-        if x.ndim == 1:  # reshape into blocks, zero-padding the tail
-            bs = mld.config.block_size
-            nb = -(-x.shape[0] // bs)
-            padded = np.zeros(nb * bs, np.float32)
-            padded[: x.shape[0]] = x
-            x = padded.reshape(nb, bs)
+        x = _load_corpus_blocks(args.input, mld.config.block_size)
         blob = codec.encode(x)
         with open(args.output, "wb") as f:
             f.write(blob)
@@ -197,8 +188,8 @@ def _load_corpus_blocks(path: str, block_size: int) -> np.ndarray:
         x = padded.reshape(nb, block_size)
     if x.shape[1] != block_size:
         raise SystemExit(
-            f"corpus blocks are {x.shape[1]} samples; --block-size is "
-            f"{block_size}"
+            f"corpus blocks are {x.shape[1]} samples; expected the codec "
+            f"block size {block_size}"
         )
     return x
 

@@ -85,6 +85,16 @@ class CodecConfig:
             raise ValueError("scales must be strictly increasing")
         if not (2 <= self.amp_bits <= 16):
             raise ValueError("amp_bits must be in [2, 16]")
+        for level in range(len(self.counts)):
+            # every level needs at least one valid filter placement; without
+            # this the failure surfaces as an obscure mid-encode shape error
+            if self.num_positions(level) < 1:
+                raise ValueError(
+                    f"block_size={self.block_size} leaves no valid filter "
+                    f"placement at level {level} "
+                    f"(window {self.window_sizes[level]} over "
+                    f"{self.seq_len(level)} positions)"
+                )
         if self.num_select < 1:
             raise ValueError("num_select must be >= 1")
         if self.entropy not in ("fixed", "rice"):

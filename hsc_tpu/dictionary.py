@@ -30,6 +30,25 @@ from .config import CodecConfig
 from .utils import normalize
 
 
+def bank_gram(bank: np.ndarray) -> np.ndarray:
+    """Filter-bank autocorrelation ``G[f, g, d]`` for any ``[K, W, C]`` bank;
+    lag index d in [0, 2W-2] maps to shift ``d - (W-1)``.
+
+    ``G[f, g, d] = sum_{u, c} A[f, u, c] * A[g, u + d - (W-1), c]`` with zero
+    padding.  Computed in float64, cast to float32 once — this is a
+    bit-exactness-critical spec surface: the SAME array feeds the NumPy
+    oracle and the TPU encoder (SURVEY.md §7 H2), and the online learner
+    (`learn.online`) builds its per-step Gram with this same function."""
+    a = np.asarray(bank, dtype=np.float64)  # [K, W, C]
+    k, w, c = a.shape
+    pad = np.zeros((k, 3 * w - 2, c), dtype=np.float64)
+    pad[:, w - 1 : 2 * w - 1, :] = a
+    # windows[g, d, u, c] = pad[g, d + u, c]; shape [K, 2W-1, C, W]
+    windows = np.lib.stride_tricks.sliding_window_view(pad, w, axis=1)
+    g = np.einsum("fuc,gdcu->fgd", a, windows, optimize=True)
+    return g.astype(np.float32)
+
+
 class MultilevelDictionary:
     """Per-level raw dictionaries + derived augmented filters, representations
     (signal-space expansions) and Gram tensors."""
@@ -237,15 +256,7 @@ class MultilevelDictionary:
         Gram-domain greedy updates are bitwise identical (SURVEY.md §7 H2).
         """
         if level not in self._grams:
-            a = self.augmented(level).astype(np.float64)  # [K, W, C]
-            k, w, c = a.shape
-            pad = np.zeros((k, 3 * w - 2, c), dtype=np.float64)
-            pad[:, w - 1 : 2 * w - 1, :] = a
-            # windows[g, d, u, c] = pad[g, d + u, c]
-            windows = np.lib.stride_tricks.sliding_window_view(pad, w, axis=1)
-            # windows shape: [K, 2W-1, C, W] (window axis appended last)
-            g = np.einsum("fuc,gdcu->fgd", a, windows, optimize=True)
-            self._grams[level] = g.astype(np.float32)
+            self._grams[level] = bank_gram(self.augmented(level))
         return self._grams[level]
 
     def up_to_level(self, level: int) -> "MultilevelDictionary":

@@ -235,12 +235,12 @@ def _unpack_rice(
     decoded = native.unpack_rice(window, n, k, _RICE_ESCAPE, pb, ab, cb)
     if decoded is not None:
         vals, consumed = decoded
-        return level, LevelStream(
+        return level, _validate_stream(cfg, level, LevelStream(
             positions=vals[:, 0].astype(np.int32),
             atoms=vals[:, 1].astype(np.int32),
             codes=(vals[:, 2].astype(np.int64) - cfg.amp_maxcode).astype(np.int32),
             scale=np.float32(scale), energy0=0.0, energy_res=0.0,
-        ), off + consumed
+        )), off + consumed
     rd = _BitReader(data[: off + (max_bits + 7) // 8 + 1], off)
     positions = np.zeros(n, np.int32)
     atoms = np.zeros(n, np.int32)
@@ -256,10 +256,35 @@ def _unpack_rice(
         atoms[i] = rd.take(ab)
         codes[i] = rd.take(cb) - cfg.amp_maxcode
     off += rd.consumed_bytes()
-    return level, LevelStream(
+    return level, _validate_stream(cfg, level, LevelStream(
         positions=positions, atoms=atoms, codes=codes,
         scale=np.float32(scale), energy0=0.0, energy_res=0.0,
-    ), off
+    )), off
+
+
+def _validate_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> LevelStream:
+    """Range-check decoded event fields against the config geometry.
+
+    Bit-widths are ceil(log2(...)), so a corrupt (or hostile) payload can
+    carry positions/atoms past the valid range while still parsing — and the
+    decode kernels write at position-derived VMEM offsets, so out-of-range
+    values must be rejected here, not downstream."""
+    npos = cfg.num_positions(level)
+    ka = cfg.counts_with_singletons[level]
+    if stream.positions.size:
+        pmax = int(stream.positions.max())
+        pmin = int(stream.positions.min())
+        if pmin < 0 or pmax >= npos:
+            raise ValueError(
+                f"corrupt stream: position {pmax if pmax >= npos else pmin} "
+                f"outside [0, {npos}) at level {level}"
+            )
+        amax = int(stream.atoms.max())
+        if amax >= ka:
+            raise ValueError(
+                f"corrupt stream: atom {amax} outside [0, {ka}) at level {level}"
+            )
+    return stream
 
 
 def pack_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> bytes:
@@ -301,7 +326,7 @@ def unpack_stream(cfg: CodecConfig, data: bytes, off: int) -> tuple[int, LevelSt
         energy0=0.0,
         energy_res=0.0,
     )
-    return level, stream, off
+    return level, _validate_stream(cfg, level, stream), off
 
 
 def pack_corpus(

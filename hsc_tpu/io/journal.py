@@ -56,14 +56,27 @@ class EncodeJournal:
         if not (os.path.exists(self._jpath) and os.path.exists(self._dpath)):
             return
         size = os.path.getsize(self._dpath)
-        with open(self._jpath) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) != 4:
-                    continue  # torn write at crash — ignore
-                bid, off, length, crc = (int(p) for p in parts)
-                if off + length <= size:
-                    self._index[bid] = (off, length, crc)
+        with open(self._jpath, "rb") as f:
+            data = f.read()
+        lines = data.split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()  # trailing newline — every line is complete
+        elif lines:
+            # No trailing newline: the final line was torn mid-write (a
+            # truncated CRC can still parse as an int, which would mark the
+            # block done with a wrong CRC and wedge resume).  Drop it AND
+            # truncate it from the file so the append handle below does not
+            # merge the next record into the torn bytes.
+            torn = lines.pop()
+            with open(self._jpath, "r+b") as tf:
+                tf.truncate(len(data) - len(torn))
+        for line in lines:
+            parts = line.split()
+            if len(parts) != 4:
+                continue  # torn interior write at crash — ignore
+            bid, off, length, crc = (int(p) for p in parts)
+            if off + length <= size:
+                self._index[bid] = (off, length, crc)
 
     @property
     def done_blocks(self) -> set[int]:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.coder import ConvolutionalMatchingPursuit
+from ..dictionary import bank_gram
 
 
 def _reconstruct(bank: jax.Array, positions, atoms, amps, mask, n: int):
@@ -126,7 +127,7 @@ class OnlineConvolutionalDictionaryLearner:
             xs = xs[:, :, None]
         n = xs.shape[1]
         # 1. sparse-code the minibatch with the CURRENT bank
-        gram = _bank_gram(np.asarray(self.bank))
+        gram = bank_gram(np.asarray(self.bank))
         mp = ConvolutionalMatchingPursuit(
             np.asarray(self.bank), gram,
             num_coefs=self.num_coefs, amp_bits=self.amp_bits, backend="jax",
@@ -146,13 +147,4 @@ class OnlineConvolutionalDictionaryLearner:
         return val
 
 
-def _bank_gram(bank: np.ndarray) -> np.ndarray:
-    """Gram tensor of an arbitrary bank (same math as
-    MultilevelDictionary.gram, float64 accumulation)."""
-    a = np.asarray(bank, dtype=np.float64)
-    k, w, c = a.shape
-    pad = np.zeros((k, 3 * w - 2, c), dtype=np.float64)
-    pad[:, w - 1 : 2 * w - 1, :] = a
-    windows = np.lib.stride_tricks.sliding_window_view(pad, w, axis=1)
-    g = np.einsum("fuc,gdcu->fgd", a, windows, optimize=True)
-    return g.astype(np.float32)
+

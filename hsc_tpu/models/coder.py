@@ -401,10 +401,15 @@ class HierarchicalConvolutionalSparseCoder:
             level = cfg.num_levels - 1
         if mode is None:
             mode = cfg.decode_mode
-        cap = max(
-            [cfg.num_coefs[level], 1]
-            + [int(s.positions.shape[0]) for s in streams]
-        )
+        need = max([1] + [int(s.positions.shape[0]) for s in streams])
+        cap = max(cfg.num_coefs[level], 1)
+        if need > cap:
+            # streams longer than this coder's budget (the container is
+            # self-describing — e.g. encoded with a larger --num-coefs):
+            # bucket the capacity to the next power of two so corpus chunks
+            # with varying max lengths reuse one compiled shape instead of
+            # paying a device recompile per chunk
+            cap = 1 << (need - 1).bit_length()
         nb = len(streams)
         pos = np.zeros((nb, cap), np.int32)
         atm = np.zeros((nb, cap), np.int32)

@@ -42,7 +42,6 @@ def _decode_kernel(
     *,
     w: int,
     n: int,
-    num_events: int,
 ):
     cw = _round_up(128 + w, 128)
     p = _round_up(n, 128) + cw
@@ -93,7 +92,7 @@ def mp_decode_pallas(
         raise ValueError("pallas decode supports single-channel banks")
     cw = _round_up(128 + w, 128)
     p = _round_up(n, 128) + cw
-    kernel = functools.partial(_decode_kernel, w=w, n=n, num_events=m)
+    kernel = functools.partial(_decode_kernel, w=w, n=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b,),

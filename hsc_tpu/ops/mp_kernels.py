@@ -40,7 +40,12 @@ from .encode import (
     quantizer_steps,
 )
 
-_LPAD = 128  # left pad of the position axis (aligned static slices)
+def _lpad(w: int) -> int:
+    """Left pad of the position axis: 128-aligned static slack that keeps the
+    aligned chunk containing any +-(W-1) update window inside the buffer.
+    128 covers W <= 129; wider atoms get proportionally more (a fixed 128
+    would produce negative chunk offsets -- undefined Mosaic behavior)."""
+    return max(128, _round_up(w - 1, 128))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -98,6 +103,7 @@ def _mp_kernel(
     *,
     k: int,
     w: int,
+    lpad: int,
     npos: int,
     npos_pad: int,
     num_coefs: int,
@@ -124,7 +130,7 @@ def _mp_kernel(
     # CW slack lanes so the (aligned) window RMW below never leaves its row.
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
-    p2 = _LPAD + npos_pad8 + cw
+    p2 = lpad + npos_pad8 + cw
     base = pl.program_id(0) * group
 
     # ---- load all group members' scores into padded VMEM scratch ----------
@@ -133,7 +139,7 @@ def _mp_kernel(
         scores[g, :, :] = jnp.zeros((k, p2), jnp.float32)
         cp = pltpu.make_async_copy(
             scores_hbm.at[base + g],
-            scores.at[g, :, pl.ds(_LPAD, npos_pad)],
+            scores.at[g, :, pl.ds(lpad, npos_pad)],
             sems.at[g],
         )
         cp.start()
@@ -168,7 +174,7 @@ def _mp_kernel(
         colmax[g, :, :] = jnp.full((fold, l8 + cw), -1.0, jnp.float32)
         fold_rows = []
         for r in range(fold):
-            seg = scores[g, :, _LPAD + r * l8 : _LPAD + (r + 1) * l8]  # [K, L8]
+            seg = scores[g, :, lpad + r * l8 : lpad + (r + 1) * l8]  # [K, L8]
             cm_r = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
             fold_rows.append(
                 jnp.where(row_cols + r * l8 < npos, cm_r, jnp.float32(-1))
@@ -199,7 +205,7 @@ def _mp_kernel(
         position this sweep (-1 = none) for the 2W-1 interference guard, or
         None for single-select.  Returns (emit, done, e_res, count, t).
         """
-        cs = t + _LPAD - (w - 1)
+        cs = t + lpad - (w - 1)
         a = pl.multiple_of((cs // 128) * 128, 128)
         o = cs - a
         chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
@@ -256,7 +262,7 @@ def _mp_kernel(
         scores[g, :, pl.ds(a, cw)] = chunk_new
         # exact colmax refresh over the chunk; positions outside [0, npos)
         # stay parked at -1
-        gpos = lane_ids + (a - _LPAD)
+        gpos = lane_ids + (a - lpad)
         cm = jnp.where(
             jnp.logical_and(gpos >= 0, gpos < npos),
             jnp.max(jnp.abs(chunk_new) * w_ref[:, :1], axis=0)[None, :],
@@ -267,7 +273,7 @@ def _mp_kernel(
         # [c0, c0+CW) (possibly spilling into the row's slack lanes — never
         # selected) and, when the chunk crosses a row boundary, also at the
         # head of row r0+1 (the authoritative copy selection reads).
-        p0 = a - _LPAD
+        p0 = a - lpad
         r0 = jnp.floor_divide(p0, l8)
         c0 = pl.multiple_of(p0 - r0 * l8, 128)
         cm8 = jnp.broadcast_to(cm, (fold, cw))
@@ -452,7 +458,8 @@ def _mp_pallas_stage(
         )
     npos_pad8 = _round_up(npos, fold * 128)
     l8 = npos_pad8 // fold
-    p2 = _LPAD + npos_pad8 + cw
+    lpad = _lpad(w)
+    p2 = lpad + npos_pad8 + cw
     # blocks interleaved per program: as many as fit the VMEM budget (the
     # greedy loop is latency-bound; G independent chains overlap).  v5e has
     # 128 MiB of VMEM per core; the budget leaves headroom for Mosaic
@@ -475,7 +482,7 @@ def _mp_pallas_stage(
         vmem_budget = 52 << 20
     group = 1
     while (
-        group < group_cap
+        group * 2 <= group_cap  # never overshoot a non-power-of-two cap
         and b % (group * 2) == 0
         and (group * 2) * per_block + gram_bytes < vmem_budget
     ):
@@ -491,7 +498,8 @@ def _mp_pallas_stage(
 
     kernel = functools.partial(
         _mp_kernel,
-        k=k8, w=w, npos=npos, npos_pad=npos_pad, num_coefs=num_coefs,
+        k=k8, w=w, lpad=lpad, npos=npos, npos_pad=npos_pad,
+        num_coefs=num_coefs,
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
         num_select=num_select,
     )

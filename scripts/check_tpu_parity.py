@@ -210,6 +210,30 @@ def main():
         rec3_dev.tobytes() == rec3_ref.tobytes(),
     )
 
+    # ---- 7. wide atom windows (W > 129: proportionally larger left pad) ---
+    cfgw = make_test_config(
+        counts=(8,), scales=(160,), num_coefs=(24,), block_size=2048
+    )
+    mldw = MultilevelDictionary.generate(cfgw, seed=44)
+    xsw = SignalGenerator(mldw, rates=2e-3).generate_signals(
+        2, cfgw.block_size, seed=93
+    )
+    bankw = jnp.asarray(mldw.augmented(0))
+    gtw = jnp.asarray(np.ascontiguousarray(mldw.gram(0).transpose(1, 0, 2)))
+    xbw = jnp.asarray(xsw)[:, :, None]
+    t0 = time.time()
+    pkw = jax.device_get(mp_encode_pallas(xbw, bankw, gtw, num_coefs=24))
+    print(f"wide-window encode: {time.time()-t0:.1f}s (incl. compile)", flush=True)
+    s0w, e0w, _ = jax.device_get(encode_init(xbw, bankw))
+    ok = True
+    for b in range(2):
+        ref = mp_encode(
+            xsw[b][:, None], mldw.augmented(0), mldw.gram(0), num_coefs=24,
+            scores0=s0w[b], energy0=float(e0w[b]),
+        )
+        ok &= streams_equal(pkw, ref, b)
+    check("wide-window (W=160) fused kernel == pinned oracle", ok)
+
     print(f"\n{'ALL CHECKS PASSED' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}")
     return 1 if FAILURES else 0
 

@@ -177,6 +177,43 @@ def test_rice_empty_stream(mld1):
     assert blocks[0][0][1].positions.shape[0] == 0
 
 
+def test_out_of_range_fields_rejected():
+    """Positions/atoms past the config geometry parse bit-wise but must be
+    rejected at unpack time — the decode kernels write at position-derived
+    VMEM offsets, so range errors cannot be allowed downstream."""
+    import pytest
+
+    from hsc_tpu import make_test_config
+    from hsc_tpu.io.bitstream import pack_stream, unpack_stream
+    from hsc_tpu.oracle.mp import LevelStream
+
+    for entropy in ("fixed", "rice"):
+        cfg = make_test_config(counts=(13,), scales=(16,), entropy=entropy)
+        npos = cfg.num_positions(0)
+        assert (1 << cfg.pos_bits(0)) > npos  # a too-large position encodes
+        bad_pos = LevelStream(
+            positions=np.array([npos], np.int32),
+            atoms=np.array([0], np.int32),
+            codes=np.array([5], np.int32),
+            scale=np.float32(1.0), energy0=0.0, energy_res=0.0,
+        )
+        blob = pack_stream(cfg, 0, bad_pos)
+        with pytest.raises(ValueError, match="corrupt stream"):
+            unpack_stream(cfg, blob, 0)
+
+        ka = cfg.counts_with_singletons[0]
+        assert (1 << cfg.atom_bits(0)) > ka  # a too-large atom encodes
+        bad_atom = LevelStream(
+            positions=np.array([0], np.int32),
+            atoms=np.array([ka], np.int32),
+            codes=np.array([5], np.int32),
+            scale=np.float32(1.0), energy0=0.0, energy_res=0.0,
+        )
+        blob = pack_stream(cfg, 0, bad_atom)
+        with pytest.raises(ValueError, match="corrupt stream"):
+            unpack_stream(cfg, blob, 0)
+
+
 def test_truncated_and_corrupt_containers_fail_cleanly(mld1):
     """Decoder hardening: truncations raise clean errors and random bit
     flips either decode (into garbage) or raise — never hang or crash the

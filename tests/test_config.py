@@ -63,6 +63,20 @@ def test_validation():
         CodecConfig(counts=(4, 4), scales=(32, 16), num_coefs=(8, 8))
 
 
+def test_validation_block_size_vs_scales():
+    """block_size too small for the scales fails at construction, not as an
+    obscure mid-encode shape error."""
+    with pytest.raises(ValueError, match="placement"):
+        CodecConfig(counts=(4,), scales=(64,), num_coefs=(8,), block_size=32)
+    with pytest.raises(ValueError, match="placement"):
+        # level-1 window exhausts the level-0 coefficient sequence
+        CodecConfig(
+            counts=(4, 4), scales=(16, 160), num_coefs=(8, 8), block_size=128
+        )
+    # exactly one placement at the top level is still valid
+    CodecConfig(counts=(4, 4), scales=(16, 128), num_coefs=(8, 8), block_size=128)
+
+
 def test_validation_feature_map_capacity():
     """Multi-level configs must satisfy the hand-off exactness bound at
     construction (num_coefs[level] * 255 < 2^24 for non-top levels) —

@@ -61,6 +61,39 @@ def test_pallas_unaligned_atom_count():
         np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
 
 
+def test_pallas_wide_window():
+    """Atom windows wider than 129 samples need a proportionally larger
+    left pad (a fixed 128 produced negative chunk offsets — undefined
+    Mosaic behavior).  W=160 here: selections must match the XLA path.
+
+    Codes are compared to within one quantizer step: interpret-mode Pallas
+    refs are transparent to XLA fusion (docs/DESIGN.md), so the
+    multiply-store-subtract firewall can FMA-contract on CPU and drift low
+    bits — on real hardware the VMEM store is honored and the stream is
+    bitwise (scripts/check_tpu_parity.py check 7, verified on the chip)."""
+    from hsc_tpu import MultilevelDictionary, make_test_config
+
+    cfg = make_test_config(
+        counts=(8,), scales=(160,), num_coefs=(24,), block_size=2048
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=44)
+    gen = SignalGenerator(mld, rates=2e-3)
+    xs = gen.generate_signals(2, cfg.block_size, seed=93)
+    bank = jnp.asarray(mld.augmented(0))
+    gt = _gram_t(mld)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = cfg.num_coefs[0]
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, interpret=True)
+    for b in range(2):
+        ref = mp_encode_jax(xb[b], bank, gt, num_coefs=nc)
+        np.testing.assert_array_equal(np.asarray(pk.count[b]), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
+        np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
+        np.testing.assert_array_less(
+            np.abs(np.asarray(pk.codes[b]) - np.asarray(ref.codes)), 2
+        )
+
+
 def test_pallas_snr_stop(mld1, signal1):
     bank = jnp.asarray(mld1.augmented(0))
     gt = _gram_t(mld1)

@@ -44,6 +44,28 @@ def test_journal_ignores_torn_tail(tmp_path):
     j2.close()
 
 
+def test_journal_ignores_torn_tail_with_truncated_crc(tmp_path):
+    """A torn final line whose truncated CRC still parses as an int must be
+    dropped (no trailing newline == incomplete), not indexed with a wrong
+    CRC — that would wedge resume with an IOError on every read."""
+    j = EncodeJournal(str(tmp_path))
+    j.record(0, b"payload-zero")
+    j.record(1, b"payload-one")
+    j.close()
+    jp = str(tmp_path / "corpus.journal")
+    with open(jp) as f:
+        lines = f.read().splitlines()
+    # truncate the last line's CRC by two digits and drop its newline
+    with open(jp, "w") as f:
+        f.write(lines[0] + "\n" + lines[1][:-2])
+    j2 = EncodeJournal(str(tmp_path))
+    assert j2.done_blocks == {0}  # block 1 re-encodes instead of wedging
+    assert j2.read(0) == b"payload-zero"
+    j2.record(1, b"payload-one")  # resume completes
+    assert j2.read(1) == b"payload-one"
+    j2.close()
+
+
 def test_journal_config_fingerprint(tmp_path):
     """Resuming a journal under a different codec config must be refused —
     mixed-config payloads would assemble a silently corrupt container."""
