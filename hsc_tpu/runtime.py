@@ -398,18 +398,58 @@ class CorpusEncoder:
 
     # -- decode -------------------------------------------------------------
 
-    def decode(self, blob: bytes) -> np.ndarray:
-        cfg, blocks = unpack_corpus(blob)
+    def _check_geometry(self, cfg) -> None:
         # The stream header is the authoritative config (docs/FORMAT.md);
         # only the dictionary GEOMETRY must match this codec — encode-time
         # knobs (budgets, entropy, num_select, tolerance) may differ.
-        geometry = ("counts", "scales", "block_size")
-        for field in geometry:
+        for field in ("counts", "scales", "block_size"):
             if getattr(cfg, field) != getattr(self.cfg, field):
                 raise ValueError(
                     f"stream {field}={getattr(cfg, field)} does not match "
                     f"this dictionary ({getattr(self.cfg, field)})"
                 )
+
+    def decode_stream(self, blob: bytes):
+        """Yield each decoded block ``[block_size]`` in container order —
+        the serving surface: bounded memory for arbitrarily large corpora,
+        device chunks pipelined like `decode` (<= 4 in flight), rows
+        byte-identical to `decode`'s."""
+        cfg, blocks = unpack_corpus(blob)
+        self._check_geometry(cfg)
+        top = cfg.num_levels - 1
+        mode, rep_bits = cfg.decode_mode, cfg.rep_bits
+        if not all(len(s) == 1 and s[0][0] == top for s in blocks):
+            # distributed / mixed containers: batched whole-corpus decode
+            # (they are bounded by the per-level batching inside decode)
+            for row in self.decode(blob):
+                yield row
+            return
+        from collections import deque
+
+        streams = [s[0][1] for s in blocks]
+        step = max(self.batch_size, 1)
+        pending: deque = deque()
+
+        for i in range(0, len(streams), step):
+            dev = self.coder.reconstruct_batch_device(
+                streams[i : i + step], level=top, mode=mode,
+                rep_bits=rep_bits,
+            )
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append(dev)
+            if len(pending) >= 4:
+                for row in np.asarray(pending.popleft())[:, :, 0]:
+                    yield row
+        while pending:
+            for row in np.asarray(pending.popleft())[:, :, 0]:
+                yield row
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        cfg, blocks = unpack_corpus(blob)
+        self._check_geometry(cfg)
         top = cfg.num_levels - 1
         t0 = time.perf_counter()
         # the stream header's decode arithmetic is authoritative (mode may

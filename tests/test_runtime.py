@@ -94,6 +94,21 @@ def test_corpus_encoder_empty_corpus_roundtrip(mld1):
     assert out.dtype == np.float32
 
 
+def test_corpus_decode_stream_matches_decode(mld1):
+    """The streaming decoder yields decode()'s rows byte for byte, in
+    container order, for both the common shape and a tiny batch size that
+    forces multiple in-flight chunks."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(9, mld1.config.block_size, seed=77)
+    enc = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    blob = enc.encode(xs)
+    full = enc.decode(blob)
+    rows = list(enc.decode_stream(blob))
+    assert len(rows) == 9
+    for b in range(9):
+        assert rows[b].tobytes() == full[b].tobytes()
+
+
 def test_corpus_encoder_rejects_wrong_block_size(mld1):
     enc = CorpusEncoder(mld1, backend="jax")
     bad = np.zeros((2, mld1.config.block_size + 1), np.float32)
