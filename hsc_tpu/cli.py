@@ -69,6 +69,10 @@ def parse_args():
                    help="reconstruction arithmetic written into the stream "
                    "header: 'ordered' (sequential float32) or 'integer' "
                    "(order-free mod-2^32; decodes on the MXU)")
+    p.add_argument("--streaming", action="store_true",
+                   help="decode: write blocks to the output .npy one at a "
+                   "time (bounded memory for huge corpora; byte-identical "
+                   "output)")
     p.add_argument("--distributed", action="store_true",
                    help="emit the distributed representation (events stored "
                    "at the level where their atom is raw) instead of "
@@ -162,6 +166,23 @@ def main():
     else:  # decode
         with open(args.input, "rb") as f:
             blob = f.read()
+        if args.streaming:
+            if not args.output.lower().endswith(".npy"):
+                raise SystemExit("--streaming requires a .npy --output")
+            from numpy.lib.format import open_memmap
+
+            from hsc_tpu.io import unpack_corpus as _unpack
+
+            scfg, sblocks = _unpack(blob)
+            mm = open_memmap(
+                args.output, mode="w+", dtype=np.float32,
+                shape=(len(sblocks), scfg.block_size),
+            )
+            for b, row in enumerate(codec.decode_stream(blob)):
+                mm[b] = row
+            mm.flush()
+            print(f"{args.output}: {mm.shape} float32 (streamed)")
+            return
         out = codec.decode(blob)
         if args.output.lower().endswith(".wav"):
             from hsc_tpu.signal import save_wav

@@ -85,6 +85,19 @@ def test_cli_overrides_and_errors(cli_fixture):
     assert nodict.returncode != 0
 
 
+def test_cli_streaming_decode_identical(cli_fixture):
+    """--streaming writes the same bytes as the in-memory decode."""
+    d = cli_fixture
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "s.hsct"),
+        "--output", str(d / "rs.npy"), "--backend", "jax", "--platform", "cpu",
+        "--streaming",
+    ])
+    a = np.load(d / "rs.npy")
+    b = np.load(d / "r.npy")
+    assert a.tobytes() == b.tobytes()
+
+
 def test_cli_learn_then_roundtrip(cli_fixture):
     """`learn` produces a dictionary the encode/decode verbs accept end to
     end (the reference's training-driver surface as a CLI verb)."""
