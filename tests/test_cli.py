@@ -123,6 +123,24 @@ def test_cli_learn_then_roundtrip(cli_fixture):
     num = (x * x).sum(1)
     den = ((x - r) ** 2).sum(1)
     assert (10 * np.log10(num / den)).mean() > 2.0  # learned dict explains
+    # 2-level learn: the multilevel alternation end to end
+    _run([
+        "learn", "--input", str(d / "sig.npy"),
+        "--output", str(d / "learned2.npz"), "--platform", "cpu",
+        "--counts", "6,4", "--scales", "16,32", "--block-size", "1024",
+        "--learn-coefs", "48,24", "--num-windows", "128", "--iterations", "3",
+    ])
+    _run([
+        "encode", "--dict", str(d / "learned2.npz"),
+        "--input", str(d / "sig.npy"), "--output", str(d / "sl2.hsct"),
+        "--backend", "jax", "--platform", "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "learned2.npz"),
+        "--input", str(d / "sl2.hsct"), "--output", str(d / "rl2.npy"),
+        "--backend", "jax", "--platform", "cpu",
+    ])
+    assert np.load(d / "rl2.npy").shape == x.shape
     # geometry errors are clean SystemExits, not tracebacks
     noargs = _run(
         ["learn", "--input", str(d / "sig.npy"), "--output", str(d / "y.npz")],

@@ -109,6 +109,20 @@ def test_corpus_decode_stream_matches_decode(mld1):
         assert rows[b].tobytes() == full[b].tobytes()
 
 
+def test_decode_stream_distributed_container(mld2):
+    """The streaming decoder also covers distributed containers (via the
+    batched whole-corpus fallback), byte-identical to decode()."""
+    gen = SignalGenerator(mld2, rates=2e-2)
+    xs = gen.generate_signals(3, mld2.config.block_size, seed=79)
+    enc = CorpusEncoder(mld2, backend="jax", batch_size=2, distributed=True)
+    blob = enc.encode(xs)
+    full = enc.decode(blob)
+    rows = list(enc.decode_stream(blob))
+    assert len(rows) == 3
+    for b in range(3):
+        assert rows[b].tobytes() == full[b].tobytes()
+
+
 def test_corpus_encoder_rejects_wrong_block_size(mld1):
     enc = CorpusEncoder(mld1, backend="jax")
     bad = np.zeros((2, mld1.config.block_size + 1), np.float32)
