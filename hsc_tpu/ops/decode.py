@@ -78,75 +78,78 @@ def mp_decode_integer_jax(
     round-2 full-position form, and no chunk scan:
 
       1. ``crow[i, (u,c)] = code_i * rep_q[atom_i, u, c]`` — an int32 gather
-         + multiply (exact: |crow| < 2^27), decomposed into four base-256
-         planes, each exactly representable in bfloat16;
+         + multiply (exact: |crow| < 2^27), decomposed into four BALANCED
+         signed base-256 digits (``v = sum d_j * 256^j`` with
+         ``d_j in [-128, 127]``) — native int8;
       2. per-event shift to the bucket offset: ``erow[i, j] =
-         crow_planes[i, j - r_i]`` via a one-hot shift matmul
-         ``[j == r_i + u]`` (each output is a single selected plane value —
-         exact);
+         crow_digits[i, j - r_i]`` via an int8 one-hot shift matmul
+         ``[j == r_i + u]`` (each output is a single selected digit);
       3. ``bucket[q, (j,c)] = sum_i [q_i == q] * erow[i, (j,c)]`` — ONE
-         iota-compare one-hot mask ``[nq, E]`` matmul'd against the shifted
-         planes on the MXU with f32 accumulation: plane values are < 2^8 and
-         each dot over E events stays < 2^24, so every partial sum is an
-         exactly-representable integer regardless of reduction order;
-      4. recombine planes in int32 (wraparound = the spec's mod 2^32) and
+         iota-compare int8 one-hot mask ``[nq, E]`` matmul'd against the
+         shifted digit planes on the MXU with int32 accumulation: pure
+         integer arithmetic, exact for any reduction order (per-digit sums
+         are <= m * 128, far inside int32);
+      4. recombine digits in int32 (wraparound = the spec's mod 2^32) and
          fold the 2W-wide bucket rows at stride W:
          ``out[w*q + j] += bucket[q, j]``.
+
+    (Round-2 history: the first bucketed form used non-negative base-256
+    planes in bf16 with f32 accumulation — exact only under the
+    ``m * 255 < 2^24`` dot bound; the int8 digit form is bitwise identical,
+    ~10% faster on the chip, and needs no float-exactness argument.)
 
     `amp_step` is the host-computed ``f32(f32(scale) * step)`` per block.
     """
     k, w, c = rep_q.shape
     npos = n - w + 1
     m = positions.shape[0]
-    if m * 255 >= (1 << 24):
-        # the one-hot dots sum <= m plane values of < 2^8 each; beyond this
-        # the f32 partial sums stop being exact integers (CodecConfig
-        # enforces the same bound for decode_mode='integer')
+    if m >= (1 << 24):
+        # per-digit int32 dot sums are bounded by m * 128; keep them (and
+        # the shifted recombine) far inside int32
         raise ValueError(
-            "integer decode exactness bound: event capacity must satisfy "
-            f"m * 255 < 2^24 (got m={m})"
+            f"integer decode event capacity must satisfy m < 2^24 (got m={m})"
         )
     mask = jnp.arange(m) < count
     cz = jnp.where(mask, codes, 0).astype(jnp.int32)
     crow = cz[:, None, None] * rep_q[atoms]  # [E, w, c] int32
-    planes = []
+    digs = []
     cur = crow
     for _ in range(3):
-        hi = cur >> 8
-        planes.append((cur - (hi << 8)).astype(jnp.bfloat16))
-        cur = hi
-    planes.append(cur.astype(jnp.bfloat16))  # top plane in [-8, 7]
-    plane_stack = jnp.stack(planes, axis=3)  # [E, w, c, 4]
+        d = ((cur + 128) & 255) - 128  # balanced digit in [-128, 127]
+        digs.append(d.astype(jnp.int8))
+        cur = (cur - d) >> 8  # exact: cur - d is divisible by 256
+    digs.append(cur.astype(jnp.int8))  # top digit (|crow| < 2^27)
+    dig_stack = jnp.stack(digs, axis=3)  # [E, w, c, 4] int8
 
     q = positions // w
     r = positions - q * w
     # one-hot shift [E, w, 2w]: exactly one u per (i, j) in range, so each
-    # erow output is a single bf16-exact plane value (f32-accumulated) —
-    # events with index >= count have cz == 0 rows and contribute nothing
+    # erow output is a single selected digit — events with index >= count
+    # have cz == 0 rows and contribute nothing
     jj = jnp.arange(2 * w, dtype=positions.dtype)
     uu = jnp.arange(w, dtype=positions.dtype)
     shift_oh = (
         (jj[None, None, :] - uu[None, :, None]) == r[:, None, None]
-    ).astype(jnp.bfloat16)
+    ).astype(jnp.int8)
     erow = jax.lax.dot_general(
-        plane_stack,  # [E, w, c, 4]
+        dig_stack,  # [E, w, c, 4]
         shift_oh,  # [E, w, 2w]
         (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )  # [E, c, 4, 2w]
-    erow_mat = erow.astype(jnp.bfloat16).reshape(m, c * 4 * 2 * w)
+    erow_mat = erow.astype(jnp.int8).reshape(m, c * 4 * 2 * w)
 
     nq = -(-npos // w)
     nq_pad = -(-nq // 8) * 8  # sublane-align the one-hot rows
     qiota = jnp.arange(nq_pad, dtype=positions.dtype)
-    maskq = (q[None, :] == qiota[:, None]).astype(jnp.bfloat16)  # [nq, E]
+    maskq = (q[None, :] == qiota[:, None]).astype(jnp.int8)  # [nq, E]
     mm = jax.lax.dot_general(
         maskq, erow_mat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     ).reshape(nq_pad, c, 4, 2 * w)
     bucket = jnp.zeros((nq_pad, c, 2 * w), jnp.int32)
     for j in range(4):
-        bucket = bucket + (mm[:, :, j, :].astype(jnp.int32) << (8 * j))
+        bucket = bucket + (mm[:, :, j, :] << (8 * j))
     bucket = bucket.transpose(0, 2, 1)  # [nq_pad, 2w, c]
     # fold: out[w*q + j] += bucket[q, j]; rows overlap their successor by w
     lo = bucket[:, :w, :].reshape(nq_pad * w, c)

@@ -86,15 +86,25 @@ def test_cli_overrides_and_errors(cli_fixture):
 
 
 def test_cli_streaming_decode_identical(cli_fixture):
-    """--streaming writes the same bytes as the in-memory decode."""
+    """--streaming writes the same bytes as the in-memory decode.
+    Self-contained: encodes its own container (test order independent)."""
     d = cli_fixture
     _run([
-        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "s.hsct"),
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "ss.hsct"), "--backend", "jax", "--platform", "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "ss.hsct"),
+        "--output", str(d / "rplain.npy"), "--backend", "jax",
+        "--platform", "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "ss.hsct"),
         "--output", str(d / "rs.npy"), "--backend", "jax", "--platform", "cpu",
         "--streaming",
     ])
     a = np.load(d / "rs.npy")
-    b = np.load(d / "r.npy")
+    b = np.load(d / "rplain.npy")
     assert a.tobytes() == b.tobytes()
 
 
