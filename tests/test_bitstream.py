@@ -177,6 +177,44 @@ def test_rice_empty_stream(mld1):
     assert blocks[0][0][1].positions.shape[0] == 0
 
 
+def test_v1_container_backward_compat(mld1):
+    """A version-1 container (no decode_mode/rep_bits keys in the header
+    JSON) still decodes — missing keys default to the v1 'ordered'
+    behavior (docs/FORMAT.md version history)."""
+    import json
+    import struct
+
+    from hsc_tpu import SignalGenerator
+    from hsc_tpu.io import unpack_corpus
+    from hsc_tpu.runtime import CorpusEncoder
+
+    enc = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    xs = SignalGenerator(mld1, rates=4e-3).generate_signals(
+        2, mld1.config.block_size, seed=43
+    )
+    blob = enc.encode(xs)
+    ref = enc.decode(blob)
+
+    # rewrite the header as a v1 container: version byte 1, config JSON
+    # without the v2 keys
+    _, cfg_len = struct.unpack_from("<BI", blob, 4)
+    head_end = 4 + struct.calcsize("<BI")
+    cfg_d = json.loads(blob[head_end : head_end + cfg_len])
+    cfg_d.pop("decode_mode", None)
+    cfg_d.pop("rep_bits", None)
+    cfg1_json = json.dumps(cfg_d).encode()
+    v1 = (
+        blob[:4]
+        + struct.pack("<BI", 1, len(cfg1_json))
+        + cfg1_json
+        + blob[head_end + cfg_len :]
+    )
+    cfg_v1, blocks = unpack_corpus(v1)
+    assert cfg_v1.decode_mode == "ordered"
+    out = enc.decode(v1)
+    assert out.tobytes() == ref.tobytes()
+
+
 def test_out_of_range_fields_rejected():
     """Positions/atoms past the config geometry parse bit-wise but must be
     rejected at unpack time — the decode kernels write at position-derived
