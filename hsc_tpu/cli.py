@@ -171,12 +171,12 @@ def main():
                 raise SystemExit("--streaming requires a .npy --output")
             from numpy.lib.format import open_memmap
 
-            from hsc_tpu.io import unpack_corpus as _unpack
+            from hsc_tpu.io import peek_corpus_header
 
-            scfg, sblocks = _unpack(blob)
+            scfg, n_blocks = peek_corpus_header(blob)  # O(header) peek
             mm = open_memmap(
                 args.output, mode="w+", dtype=np.float32,
-                shape=(len(sblocks), scfg.block_size),
+                shape=(n_blocks, scfg.block_size),
             )
             for b, row in enumerate(codec.decode_stream(blob)):
                 mm[b] = row
@@ -232,6 +232,12 @@ def _learn(args) -> None:
         num_coefs = tuple(int(v) for v in args.learn_coefs.split(","))
     else:
         num_coefs = tuple(max(args.block_size // 32, 1) for _ in counts)
+    if args.num_coefs is not None:
+        # same semantics as the encode verb: --num-coefs sets the TOP-level
+        # budget (per-level budgets via --learn-coefs)
+        nc = list(num_coefs)
+        nc[-1] = args.num_coefs
+        num_coefs = tuple(nc)
     overrides = {}
     if args.entropy is not None:
         overrides["entropy"] = args.entropy

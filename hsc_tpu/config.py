@@ -112,12 +112,10 @@ class CodecConfig:
                     f"amp_maxcode < 2^24 (got {max(self.num_coefs)} * "
                     f"{self.amp_maxcode})"
                 )
-            # and each one-hot dot sums <= num_coefs base-256 plane values
-            if max(self.num_coefs) * 255 >= (1 << 24):
-                raise ValueError(
-                    "decode_mode='integer' requires max(num_coefs) * 255 "
-                    f"< 2^24 (got num_coefs={max(self.num_coefs)})"
-                )
+            # (the round-2 bf16-plane decoder also required
+            # max(num_coefs) * 255 < 2^24 for its f32 one-hot dots; the
+            # int8 balanced-digit decoder needs only m < 2^24, implied by
+            # the amp_maxcode bound above, so that check is gone)
         if len(self.counts) > 1:
             # the level hand-off (ops.encode.feature_map_jax / oracle
             # feature_map_from_events) builds dense exact-integer code maps

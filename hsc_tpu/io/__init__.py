@@ -2,6 +2,7 @@ from .bitstream import (
     pack_stream,
     unpack_stream,
     pack_corpus,
+    peek_corpus_header,
     unpack_corpus,
     stream_num_bytes,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "pack_stream",
     "unpack_stream",
     "pack_corpus",
+    "peek_corpus_header",
     "unpack_corpus",
     "stream_num_bytes",
 ]

@@ -345,6 +345,21 @@ def pack_corpus(
     return b"".join(out)
 
 
+def peek_corpus_header(data: bytes) -> tuple[CodecConfig, int]:
+    """Parse ONLY the container header: returns (config, n_blocks) without
+    touching any stream payload — O(header) for arbitrarily large corpora
+    (used to pre-size streaming decode outputs)."""
+    if data[:4] != MAGIC:
+        raise ValueError("bad magic")
+    version, cfg_len = struct.unpack_from("<BI", data, 4)
+    if version not in SUPPORTED_VERSIONS:
+        raise ValueError(f"unsupported version {version}")
+    off = 4 + struct.calcsize("<BI")
+    cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())
+    (n_blocks,) = struct.unpack_from("<I", data, off + cfg_len)
+    return cfg, n_blocks
+
+
 def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelStream]]]]:
     if data[:4] != MAGIC:
         raise ValueError("bad magic")

@@ -268,24 +268,43 @@ def _mp_kernel(
             jnp.max(jnp.abs(chunk_new) * w_ref[:, :1], axis=0)[None, :],
             jnp.float32(-1),
         )
-        # Write cm into the folded cache with two aligned read-modify-write
-        # blends.  Chunk positions [p0, p0+CW) live in fold row r0 at lanes
-        # [c0, c0+CW) (possibly spilling into the row's slack lanes — never
-        # selected) and, when the chunk crosses a row boundary, also at the
-        # head of row r0+1 (the authoritative copy selection reads).
-        p0 = a - lpad
-        r0 = jnp.floor_divide(p0, l8)
-        c0 = pl.multiple_of(p0 - r0 * l8, 128)
-        cm8 = jnp.broadcast_to(cm, (fold, cw))
-        sub_a = colmax[g, :, pl.ds(c0, cw)]
-        colmax[g, :, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
-        shift_b = jnp.mod(c0 - l8, cw)
-        cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, cw))
-        d_b = c0 + cw - l8  # overlap width into the next row (<= 0: none)
-        sub_b = colmax[g, :, :cw]
-        colmax[g, :, :cw] = jnp.where(
-            jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
-        )
+        if lpad > l8:
+            # Wide atoms on short blocks (only reachable at fold == 1, where
+            # l8 = round_up(npos, 128) can be smaller than the left pad):
+            # the aligned chunk can start at p0 < -l8, putting r0 <= -2 so
+            # NEITHER blend below would write a row — the refresh would
+            # silently no-op and selection would re-read stale maxima.
+            # Recompute the whole (single) row from the stored scores
+            # instead: max has no rounding, so the full recompute is bitwise
+            # the incremental refresh, and the geometry is tiny by
+            # construction (npos < cw).
+            seg = scores[g, :, lpad : lpad + l8]  # [K, L8]
+            cm_full = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
+            colmax[g, :, :l8] = jnp.where(
+                row_cols < npos, cm_full, jnp.float32(-1)
+            )
+        else:
+            # Write cm into the folded cache with two aligned
+            # read-modify-write blends.  Chunk positions [p0, p0+CW) live in
+            # fold row r0 at lanes [c0, c0+CW) (possibly spilling into the
+            # row's slack lanes — never selected) and, when the chunk
+            # crosses a row boundary, also at the head of row r0+1 (the
+            # authoritative copy selection reads).  lpad <= l8 here, so
+            # p0 >= -l8 and r0 >= -1: every real position the chunk covers
+            # is written by one of the two blends.
+            p0 = a - lpad
+            r0 = jnp.floor_divide(p0, l8)
+            c0 = pl.multiple_of(p0 - r0 * l8, 128)
+            cm8 = jnp.broadcast_to(cm, (fold, cw))
+            sub_a = colmax[g, :, pl.ds(c0, cw)]
+            colmax[g, :, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
+            shift_b = jnp.mod(c0 - l8, cw)
+            cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, cw))
+            d_b = c0 + cw - l8  # overlap width into the next row (<= 0: none)
+            sub_b = colmax[g, :, :cw]
+            colmax[g, :, :cw] = jnp.where(
+                jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
+            )
 
         snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
         return emit, snr_hit, new_e, new_count

@@ -177,6 +177,31 @@ def test_rice_empty_stream(mld1):
     assert blocks[0][0][1].positions.shape[0] == 0
 
 
+def test_peek_corpus_header(mld1):
+    """Header-only peek agrees with the full parse without touching
+    payloads."""
+    from hsc_tpu import SignalGenerator
+    from hsc_tpu.io import peek_corpus_header, unpack_corpus
+    from hsc_tpu.runtime import CorpusEncoder
+
+    enc = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    xs = SignalGenerator(mld1, rates=4e-3).generate_signals(
+        3, mld1.config.block_size, seed=45
+    )
+    blob = enc.encode(xs)
+    cfg_p, n = peek_corpus_header(blob)
+    cfg_f, blocks = unpack_corpus(blob)
+    assert n == len(blocks) == 3
+    assert cfg_p == cfg_f
+    # the peek never reads stream payloads: truncating right after the
+    # header still peeks fine
+    import struct
+
+    _, cfg_len = struct.unpack_from("<BI", blob, 4)
+    head = 4 + struct.calcsize("<BI") + cfg_len + 4
+    assert peek_corpus_header(blob[:head]) == (cfg_p, n)
+
+
 def test_v1_container_backward_compat(mld1):
     """A version-1 container (no decode_mode/rep_bits keys in the header
     JSON) still decodes — missing keys default to the v1 'ordered'

@@ -117,7 +117,13 @@ def test_cli_learn_then_roundtrip(cli_fixture):
         "--output", str(d / "learned.npz"), "--platform", "cpu",
         "--counts", "8", "--scales", "16", "--block-size", "1024",
         "--learn-coefs", "48", "--num-windows", "256", "--iterations", "4",
+        "--num-coefs", "40",  # top-level budget override (encode semantics)
     ])
+    from hsc_tpu import MultilevelDictionary
+
+    assert MultilevelDictionary.load(
+        str(d / "learned.npz")
+    ).config.num_coefs == (40,)
     _run([
         "encode", "--dict", str(d / "learned.npz"),
         "--input", str(d / "sig.npy"), "--output", str(d / "sl.hsct"),

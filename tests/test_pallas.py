@@ -94,6 +94,38 @@ def test_pallas_wide_window():
         )
 
 
+def test_pallas_wide_window_short_block():
+    """fold==1 with lpad > l8 (wide atoms on a short block): the aligned
+    chunk can start below -l8, where the two-blend colmax refresh would
+    write NO row and selection would loop on a stale maximum (confirmed
+    divergence before the fix: positions [48,79,20,20,20,...]).  This
+    geometry takes the full-row recompute path instead."""
+    from hsc_tpu import MultilevelDictionary, make_test_config
+    from hsc_tpu.ops.mp_kernels import _lpad, pallas_fold
+
+    cfg = make_test_config(
+        counts=(8,), scales=(160,), num_coefs=(16,), block_size=280
+    )
+    npos = cfg.block_size - 160 + 1
+    assert pallas_fold(npos, 160) == 1 and _lpad(160) > 128  # the bug zone
+    mld = MultilevelDictionary.generate(cfg, seed=46)
+    gen = SignalGenerator(mld, rates=2e-2)
+    xs = gen.generate_signals(2, cfg.block_size, seed=95)
+    bank = jnp.asarray(mld.augmented(0))
+    gt = _gram_t(mld)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = cfg.num_coefs[0]
+    pk = mp_encode_pallas(xb, bank, gt, num_coefs=nc, interpret=True)
+    for b in range(2):
+        ref = mp_encode_jax(xb[b], bank, gt, num_coefs=nc)
+        np.testing.assert_array_equal(np.asarray(pk.count[b]), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
+        np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
+        np.testing.assert_array_less(
+            np.abs(np.asarray(pk.codes[b]) - np.asarray(ref.codes)), 2
+        )
+
+
 def test_pallas_snr_stop(mld1, signal1):
     bank = jnp.asarray(mld1.augmented(0))
     gt = _gram_t(mld1)
