@@ -20,9 +20,14 @@ def test_fuzz_single_level_pipeline(seed):
     rng = np.random.default_rng(seed)
     k = int(rng.integers(3, 24))
     # wide atom windows (W > 129) every 5th seed — they exercise the
-    # geometry-derived kernel left pad and the fold selection at large lag
-    w = int(rng.integers(130, 220)) if seed % 5 == 4 else int(rng.integers(6, 40))
-    block = int(rng.integers(w * 4, max(2048, w * 6)))
+    # geometry-derived kernel left pad and the fold selection at large lag;
+    # blocks down to <2W reach the fold==1 short-block zone (lpad > l8)
+    if seed % 5 == 4:
+        w = int(rng.integers(130, 220))
+        block = int(rng.integers(w * 7 // 4, w * 6))
+    else:
+        w = int(rng.integers(6, 40))
+        block = int(rng.integers(w * 4, 2048))
     nc = int(rng.integers(4, 80))
     amp_bits = int(rng.integers(6, 17))
     entropy = "rice" if seed % 2 else "fixed"
