@@ -119,14 +119,14 @@ class CodecConfig:
         if len(self.counts) > 1:
             # the level hand-off (ops.encode.feature_map_jax / oracle
             # feature_map_from_events) builds dense exact-integer code maps
-            # with the same plane-split one-hot matmuls regardless of
-            # decode_mode; validate its capacity bound here so multi-level
-            # configs fail at construction, not mid-encode at trace time
-            if max(self.num_coefs[:-1]) * 255 >= (1 << 24):
+            # with int8-digit one-hot matmuls regardless of decode_mode;
+            # validate its capacity bound here so multi-level configs fail
+            # at construction, not mid-encode at trace time
+            if max(self.num_coefs[:-1]) >= (1 << 24):
                 raise ValueError(
-                    "multi-level configs require num_coefs[level] * 255 "
-                    "< 2^24 for every non-top level (the feature-map "
-                    f"hand-off exactness bound; got {max(self.num_coefs[:-1])})"
+                    "multi-level configs require num_coefs[level] < 2^24 "
+                    "for every non-top level (the feature-map hand-off "
+                    f"capacity bound; got {max(self.num_coefs[:-1])})"
                 )
 
     # ---- derived geometry -------------------------------------------------

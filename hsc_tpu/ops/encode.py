@@ -351,26 +351,30 @@ def feature_map_jax(
     mod 2^32, times the f32 scale; order-free — SURVEY.md §3.4 hand-off).
 
     Runs as chunked iota-compare one-hot matmuls on the MXU (no scatter, no
-    serial scan): codes split into two base-256 planes so every bf16 product
-    and f32 partial sum is an exactly-representable integer."""
+    serial scan): codes split into three BALANCED signed base-256 digits
+    (``v = Σ dⱼ·256ʲ``, ``dⱼ ∈ [-128, 127]`` — native int8; two digits
+    cannot cover ±32767), so both matmul operands are int8 and accumulation
+    is exact int32 for any reduction order."""
     m = encoded.positions.shape[0]
-    if m * 255 >= (1 << 24):
+    if m >= (1 << 24):
+        # per-digit int32 dot sums are bounded by m * 128
         raise ValueError(
-            "feature_map_jax exactness bound: event capacity must satisfy "
-            f"m * 255 < 2^24 (got m={m})"
+            f"feature_map_jax event capacity must satisfy m < 2^24 (got m={m})"
         )
     mask = jnp.arange(m) < encoded.count
     cz = jnp.where(mask, encoded.codes, 0).astype(jnp.int32)
-    hi = cz >> 8
-    lo = cz - (hi << 8)  # [0, 255]; hi in [-128, 127] for 16-bit codes
+    d0 = ((cz + 128) & 255) - 128  # balanced digit in [-128, 127]
+    rem = (cz - d0) >> 8  # exact: cz - d0 divisible by 256
+    d1 = ((rem + 128) & 255) - 128
+    d2 = (rem - d1) >> 8  # in {-1, 0, 1} for 16-bit codes
     onehot_a = jnp.arange(k)[None, :] == encoded.atoms[:, None]  # [m, k]
     plane_mat = jnp.concatenate(
         [
-            jnp.where(onehot_a, lo[:, None], 0).astype(jnp.bfloat16),
-            jnp.where(onehot_a, hi[:, None], 0).astype(jnp.bfloat16),
+            jnp.where(onehot_a, d[:, None], 0).astype(jnp.int8)
+            for d in (d0, d1, d2)
         ],
         axis=1,
-    )  # [m, 2k]
+    )  # [m, 3k]
 
     chunk = min(2048, 1 << max(npos - 1, 0).bit_length())
     npos_pad = -(-npos // chunk) * chunk
@@ -378,12 +382,12 @@ def feature_map_jax(
 
     def chunk_body(_, p0):
         iota = p0 + jnp.arange(chunk)
-        msk = (pos_col == iota[:, None]).astype(jnp.bfloat16)  # [chunk, m]
+        msk = (pos_col == iota[:, None]).astype(jnp.int8)  # [chunk, m]
         mm = jax.lax.dot_general(
             msk, plane_mat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        return None, mm[:, :k] + (mm[:, k:] << 8)
+            preferred_element_type=jnp.int32,
+        )
+        return None, mm[:, :k] + (mm[:, k : 2 * k] << 8) + (mm[:, 2 * k :] << 16)
 
     _, parts = jax.lax.scan(
         chunk_body, None, jnp.arange(0, npos_pad, chunk, dtype=jnp.int32)

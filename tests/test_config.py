@@ -78,10 +78,10 @@ def test_validation_block_size_vs_scales():
 
 
 def test_validation_feature_map_capacity():
-    """Multi-level configs must satisfy the hand-off exactness bound at
-    construction (num_coefs[level] * 255 < 2^24 for non-top levels) —
-    regardless of decode_mode — instead of failing mid-encode."""
-    big = (1 << 24) // 255 + 1
+    """Multi-level configs must satisfy the hand-off capacity bound at
+    construction (num_coefs[level] < 2^24 for non-top levels) — regardless
+    of decode_mode — instead of failing mid-encode."""
+    big = 1 << 24
     with pytest.raises(ValueError, match="feature-map"):
         CodecConfig(
             counts=(4, 4), scales=(16, 48), num_coefs=(big, 8),
@@ -89,6 +89,6 @@ def test_validation_feature_map_capacity():
         )
     # top-level budget is not hand-off-bounded in ordered mode
     CodecConfig(
-        counts=(4, 4), scales=(16, 48), num_coefs=(8, big),
+        counts=(4, 4), scales=(16, 48), num_coefs=(8, big - 1),
         decode_mode="ordered",
     )
