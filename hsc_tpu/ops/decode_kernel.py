@@ -31,42 +31,58 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _decode_kernel(
-    pos_ref,  # [B, M] i32 SMEM
-    atom_ref,  # [B, M] i32 SMEM
-    code_ref,  # [B, M] i32 SMEM
-    cnt_ref,  # [B, 1] i32 SMEM
-    scale_ref,  # [B, 1] f32 SMEM
+    pos_ref,  # [G, M] i32 SMEM (this program's rows)
+    atom_ref,  # [G, M] i32 SMEM
+    code_ref,  # [G, M] i32 SMEM
+    cnt_ref,  # [G, 1] i32 SMEM
+    scale_ref,  # [G, 1] f32 SMEM
     bank_ref,  # [Ka, W] f32 VMEM (resident)
-    out_ref,  # [1, 1, P] f32 VMEM output block (padded; caller trims)
-    prod,  # [1, CW] f32 VMEM scratch (rounding firewall)
+    out_ref,  # [G, 1, P] f32 VMEM output rows (padded; caller trims)
+    prod,  # [G, 1, CW] f32 VMEM scratch (rounding firewall)
     *,
     w: int,
     n: int,
+    group: int,
 ):
+    """One program decodes `group` blocks with their event chains
+    interleaved: per block the chain (SMEM reads -> roll -> firewall store
+    -> chunk RMW) is serial by spec, but the G chains are independent and
+    write disjoint output rows, so interleaving hides most of the chain
+    latency (same trick as the encoder's group interleave)."""
     cw = _round_up(128 + w, 128)
     p = _round_up(n, 128) + cw
-    b_idx = pl.program_id(0)
-    out_ref[0, :, :] = jnp.zeros((1, p), jnp.float32)
-    scale = scale_ref[b_idx, 0]
-    count = cnt_ref[b_idx, 0]
+    counts = []
+    scales = []
+    for g in range(group):
+        out_ref[g, :, :] = jnp.zeros((1, p), jnp.float32)
+        counts.append(cnt_ref[g, 0])
+        scales.append(scale_ref[g, 0])
+    max_count = counts[0]
+    for g in range(1, group):
+        max_count = jnp.maximum(max_count, counts[g])
 
     def cond(i):
-        return i < count
+        return i < max_count
 
     def body(i):
-        t = pos_ref[b_idx, i]
-        f = atom_ref[b_idx, i]
-        c_hat = code_ref[b_idx, i].astype(jnp.float32) * scale
-        a = pl.multiple_of((t // 128) * 128, 128)
-        o = t - a
-        row = bank_ref[pl.ds(f, 1), :][0]  # [W]
-        u0 = jnp.concatenate(
-            [row[None, :], jnp.zeros((1, cw - w), jnp.float32)], axis=1
-        )
-        u = pltpu.roll(u0, o, 1)
-        prod[:, :] = c_hat * u
-        chunk = out_ref[0, :, pl.ds(a, cw)]
-        out_ref[0, :, pl.ds(a, cw)] = chunk + prod[:, :]
+        for g in range(group):
+
+            @pl.when(i < counts[g])
+            def _(g=g):
+                t = pos_ref[g, i]
+                f = atom_ref[g, i]
+                c_hat = code_ref[g, i].astype(jnp.float32) * scales[g]
+                a = pl.multiple_of((t // 128) * 128, 128)
+                o = t - a
+                row = bank_ref[pl.ds(f, 1), :][0]  # [W]
+                u0 = jnp.concatenate(
+                    [row[None, :], jnp.zeros((1, cw - w), jnp.float32)],
+                    axis=1,
+                )
+                u = pltpu.roll(u0, o, 1)
+                prod[g, :, :] = c_hat * u
+                chunk = out_ref[g, :, pl.ds(a, cw)]
+                out_ref[g, :, pl.ds(a, cw)] = chunk + prod[g, :, :]
         return i + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -92,36 +108,54 @@ def mp_decode_pallas(
         raise ValueError("pallas decode supports single-channel banks")
     cw = _round_up(128 + w, 128)
     p = _round_up(n, 128) + cw
-    kernel = functools.partial(_decode_kernel, w=w, n=n)
+    # 8 blocks interleaved per program: the per-block event chain is serial
+    # by spec; independent chains overlap most of the latency (same pattern
+    # as the encoder's group interleave).  The batch is padded to a multiple
+    # of 8 (padded rows have count == 0 and decode to discarded zeros) so
+    # the per-program SMEM blocks satisfy Mosaic's divisible-by-8 rule —
+    # blocking the event buffers per program is what keeps SMEM (~1 MiB)
+    # bounded for arbitrarily large batches.
+    group = 8
+    b8 = _round_up(b, group)
+    if b8 != b:
+        pad = ((0, b8 - b), (0, 0))
+        positions = jnp.pad(positions, pad)
+        atoms = jnp.pad(atoms, pad)
+        codes = jnp.pad(codes, pad)
+        count = jnp.pad(count, (0, b8 - b))
+        scale = jnp.pad(scale, (0, b8 - b))
+    kernel = functools.partial(_decode_kernel, w=w, n=n, group=group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(b,),
+        grid=(b8 // group,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # positions
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # atoms
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # codes
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # count
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scale
+            pl.BlockSpec((group, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (ka, w), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),  # bank
         ],
-        # one padded row per program; the middle dim keeps the tiled trailing
-        # dims equal to the full array shape (Mosaic tiling rule)
+        # the middle dim keeps the tiled trailing dims equal to the full
+        # array shape (Mosaic tiling rule)
         out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (group, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, cw), jnp.float32),
+            pltpu.VMEM((group, 1, cw), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b8, 1, p), jnp.float32)],
         interpret=interpret,
     )(
         positions, atoms, codes, count[:, None], scale[:, None],
         bank[:, :, 0],
     )[0]
-    return out[:, 0, :n, None]
+    return out[:b, 0, :n, None]
