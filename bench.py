@@ -138,6 +138,35 @@ def main():
     log(f"tpu integer decode: {best*1e3:.1f} ms for {DB*B} blocks -> "
         f"{decode_mbps:.1f} MB/s")
 
+    # ---- ordered (v1) decode: 8-way interleaved event chains --------------
+    from hsc_tpu.ops.decode_kernel import mp_decode_pallas
+
+    DBO = 8  # 512 blocks amortize the dispatch round-trip
+    odec_args = (
+        jnp.asarray(np.tile(enc.positions, (DBO, 1))),
+        jnp.asarray(np.tile(enc.atoms, (DBO, 1))),
+        jnp.asarray(np.tile(enc.codes, (DBO, 1))),
+        jnp.asarray(np.tile(enc.count, DBO)),
+        jnp.asarray(np.tile(enc.scale, DBO)),
+        bank_d,
+    )
+
+    @jax.jit
+    def _odec_checksum(*a):
+        return mp_decode_pallas.__wrapped__(*a, n=cfg.block_size).sum()
+
+    t0 = time.perf_counter()
+    jax.device_get(_odec_checksum(*odec_args))
+    log(f"ordered decode compile+run: {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(_odec_checksum(*odec_args))
+        best = min(best, time.perf_counter() - t0)
+    odec_mbps = DBO * B * block_mb / best
+    log(f"tpu ordered decode: {best*1e3:.1f} ms for {DBO*B} blocks -> "
+        f"{odec_mbps:.1f} MB/s")
+
     # ---- dictionary learning: device-resident k-means refinement ----------
     from hsc_tpu.learn.kmeans import kmeans_refine_device
 
@@ -165,6 +194,7 @@ def main():
         "unit": "MB/s",
         "vs_baseline": round(tpu_mbps / oracle_mbps, 2),
         "decode_integer_mb_s": round(decode_mbps, 2),
+        "decode_ordered_mb_s": round(odec_mbps, 2),
         "learn_mwindows_s": round(learn_rate, 2),
     }))
 
