@@ -87,7 +87,8 @@ def _mp_kernel(
     inv_ref,  # [B, 1] f32 SMEM — per-block inverse step (XLA-computed)
     scores_hbm,  # [B, K, npos_pad] f32 ANY (stays in HBM)
     gram_ref,  # [K, K, lag] f32 VMEM (resident)
-    w_ref,  # [K, 1] f32 VMEM (selection weights)
+    w_ref,  # [K, 1] f32 VMEM (selection weights, sublane layout)
+    w_row_ref,  # [1, K] f32 VMEM (selection weights, lane layout)
     # outputs
     pos_ref,  # [B, M] i32 SMEM
     atom_ref,  # [B, M] i32 SMEM
@@ -95,12 +96,10 @@ def _mp_kernel(
     cnt_ref,  # [B, 1] i32 SMEM
     scale_ref,  # [B, 1] f32 SMEM
     eres_ref,  # [B, 1] f32 SMEM
-    # scratch
-    scores,  # [G, K, P2] f32 VMEM
-    colmax,  # [G, fold, L8 + CW] f32 VMEM — position-folded selection caches
-    prod,  # [G, K, CW] f32 VMEM (FMA-contraction firewall, see below)
-    sems,  # DMA semaphores (G,)
-    *,
+    # scratch: scores [G, K, P2] f32, colmax [G, fold, L8+CW] f32 (position-
+    # folded selection caches), [prod [G, K, CW] f32 — legacy accept path's
+    # FMA firewall only], sems (G,) DMA semaphores
+    *scratch,
     k: int,
     w: int,
     lpad: int,
@@ -112,6 +111,9 @@ def _mp_kernel(
     fold: int,
     group: int,
     num_select: int,
+    mxu_extract: bool,
+    mxu_update: bool,
+    uniform_w: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -120,7 +122,19 @@ def _mp_kernel(
     windowed update -> cache refresh).  Interleaving G independent blocks in
     one while loop gives the scheduler G disjoint chains to overlap, hiding
     most of that latency at the cost of G copies of the VMEM state.
+
+    `mxu_extract` / `mxu_update` independently move the per-accept column
+    extraction and the Gram-row placement onto the MXU via 0/1 one-hot
+    matmuls (exact f32 passthrough — see `process_candidate`), cutting the
+    VPU issue work that bounds the loop (BASELINE.md "speed-of-light").
+    `uniform_w` specializes away the selection-weight multiplies when every
+    weight is 1.
     """
+    if mxu_update:
+        scores, colmax, sems = scratch
+        prod = None
+    else:
+        scores, colmax, prod, sems = scratch
     lag = 2 * w - 1
     cw = _round_up(128 + lag, 128)  # aligned chunk width covering any window
     # colmax is folded position-major into `fold` sublane rows so selection
@@ -165,6 +179,10 @@ def _mp_kernel(
             else jnp.float32(-1)
         )
 
+    def _weighted(v):
+        """Selection weighting of |scores| (skipped when all weights are 1)."""
+        return v if uniform_w else v * w_ref[:, :1]
+
     # Folded colmax init: one static row per fold of the position axis.  Pad
     # lanes — alignment tail and RMW slack, which Gram updates can spill real
     # values into — are parked at -1; real colmax is >= 0 and selection takes
@@ -175,13 +193,22 @@ def _mp_kernel(
         fold_rows = []
         for r in range(fold):
             seg = scores[g, :, lpad + r * l8 : lpad + (r + 1) * l8]  # [K, L8]
-            cm_r = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
+            cm_r = jnp.max(_weighted(jnp.abs(seg)), axis=0)[None, :]
             fold_rows.append(
                 jnp.where(row_cols + r * l8 < npos, cm_r, jnp.float32(-1))
             )
         colmax[g, :, :l8] = jnp.concatenate(fold_rows, axis=0)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    if mxu_update:
+        # Lane-minus-row iota: `dmat == o` is the 0/1 placement matrix
+        # P[i, j] = (j == o + i) used by the per-accept matmuls.
+        dmat = (
+            jax.lax.broadcasted_iota(jnp.int32, (lag, cw), 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (lag, cw), 0)
+        )
+    if mxu_extract:
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     fold_rows_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 0)
     fold_cols_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 1)
     fold_pos_ids = fold_rows_ids * l8 + fold_cols_ids  # position of each cell
@@ -209,14 +236,45 @@ def _mp_kernel(
         a = pl.multiple_of((cs // 128) * 128, 128)
         o = cs - a
         chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
-        col = jnp.sum(
-            jnp.where(lane_ids == o + (w - 1), chunk, jnp.float32(0)),
-            axis=1,
-            keepdims=True,
-        )  # [K, 1]
-        wcol = jnp.abs(col) * w_ref[:, :1]
-        f = jnp.argmax(wcol[:, 0][None, :], axis=1)[0].astype(jnp.int32)
-        s = jnp.sum(jnp.where(atom_ids == f, col, jnp.float32(0)))
+        if mxu_update:
+            # 0/1 placement matrix for this accept: P[i, j] = (j == o + i).
+            # A one-hot x f32 matmul at HIGHEST precision is an EXACT
+            # passthrough: 1.0 is exact in bf16, the f32 operand's 3-way
+            # bf16 split telescopes exactly (hi+mid spans 17 mantissa bits,
+            # +lo reconstructs the original 24), and the remaining products
+            # are exact zeros — so MXU extraction/placement is bitwise the
+            # VPU mask-and-sum it replaces, while costing no VPU issue slots.
+            pmat = jnp.where(dmat == o, jnp.float32(1), jnp.float32(0))
+        if mxu_extract:
+            # extraction one-hot: row w-1 of pmat (lane o + w-1)
+            emat = (
+                pmat[w - 1 : w, :]
+                if mxu_update
+                else jnp.where(
+                    lane_ids == o + (w - 1), jnp.float32(1), jnp.float32(0)
+                )
+            )
+            col_row = jax.lax.dot_general(
+                emat, chunk, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [1, K] — the score column at position t, lane layout
+            wrow = (
+                jnp.abs(col_row)
+                if uniform_w
+                else jnp.abs(col_row) * w_row_ref[:, :]
+            )
+            f = jnp.argmax(wrow, axis=1)[0].astype(jnp.int32)
+            s = jnp.sum(jnp.where(lane_k == f, col_row, jnp.float32(0)))
+        else:
+            col = jnp.sum(
+                jnp.where(lane_ids == o + (w - 1), chunk, jnp.float32(0)),
+                axis=1,
+                keepdims=True,
+            )  # [K, 1]
+            wcol = jnp.abs(col) * w_ref[:, :1]
+            f = jnp.argmax(wcol[:, 0][None, :], axis=1)[0].astype(jnp.int32)
+            s = jnp.sum(jnp.where(atom_ids == f, col, jnp.float32(0)))
         # quantizer spec: round half away from zero (see oracle.mp.mp_encode)
         y = s * inv_scales[g]
         r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
@@ -243,29 +301,45 @@ def _mp_kernel(
         e_step = jnp.float32(2.0) * c_hat * s
         new_e = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
 
-        # Gram-domain update: place the Gram row at the window offset with a
-        # dynamic roll (no wraparound: o + lag <= CW), subtract, store back.
-        # (Pre-padding the Gram to CW lanes was tried and measured SLOWER:
-        # the 4x bigger resident Gram shrinks the interleave-group budget.)
         gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
-        u0 = jnp.concatenate(
-            [gram_row, jnp.zeros((k, cw - lag), jnp.float32)], axis=1
-        )
-        u = pltpu.roll(u0, o, 1)
-        # The spec is multiply-round-subtract-round (the oracle's two float32
-        # roundings).  The TPU toolchain compiles with excess precision
-        # allowed, which would contract mul+sub into one rounding — so the
-        # product makes a real VMEM store/load round-trip, which the compiler
-        # must honor as a rounding point.
-        prod[g, :, :] = c_hat * u
-        chunk_new = chunk - prod[g, :, :]
+        if mxu_update:
+            # Scale first (the spec's first float32 rounding — IEEE VPU mul
+            # on the narrow [K, lag] row), then place via the 0/1 matmul:
+            # u[k, j] = gsc[k, j - o] for j in [o, o+lag), else 0 — exact
+            # passthrough (see above), and the MXU boundary is a hard
+            # rounding point, so the subtract below cannot be FMA-contracted
+            # with the multiply: no firewall store/load is needed.
+            gsc = c_hat * gram_row
+            u = jax.lax.dot_general(
+                gsc, pmat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [K, CW]
+            chunk_new = chunk - u
+        else:
+            # Gram-domain update: place the Gram row at the window offset
+            # with a dynamic roll (no wraparound: o + lag <= CW), subtract,
+            # store back.  (Pre-padding the Gram to CW lanes was tried and
+            # measured SLOWER: the 4x bigger resident Gram shrinks the
+            # interleave-group budget.)
+            u0 = jnp.concatenate(
+                [gram_row, jnp.zeros((k, cw - lag), jnp.float32)], axis=1
+            )
+            u = pltpu.roll(u0, o, 1)
+            # The spec is multiply-round-subtract-round (the oracle's two
+            # float32 roundings).  The TPU toolchain compiles with excess
+            # precision allowed, which would contract mul+sub into one
+            # rounding — so the product makes a real VMEM store/load
+            # round-trip, which the compiler must honor as a rounding point.
+            prod[g, :, :] = c_hat * u
+            chunk_new = chunk - prod[g, :, :]
         scores[g, :, pl.ds(a, cw)] = chunk_new
         # exact colmax refresh over the chunk; positions outside [0, npos)
         # stay parked at -1
         gpos = lane_ids + (a - lpad)
         cm = jnp.where(
             jnp.logical_and(gpos >= 0, gpos < npos),
-            jnp.max(jnp.abs(chunk_new) * w_ref[:, :1], axis=0)[None, :],
+            jnp.max(_weighted(jnp.abs(chunk_new)), axis=0)[None, :],
             jnp.float32(-1),
         )
         if lpad > l8:
@@ -279,7 +353,7 @@ def _mp_kernel(
             # the incremental refresh, and the geometry is tiny by
             # construction (npos < cw).
             seg = scores[g, :, lpad : lpad + l8]  # [K, L8]
-            cm_full = jnp.max(jnp.abs(seg) * w_ref[:, :1], axis=0)[None, :]
+            cm_full = jnp.max(_weighted(jnp.abs(seg)), axis=0)[None, :]
             colmax[g, :, :l8] = jnp.where(
                 row_cols < npos, cm_full, jnp.float32(-1)
             )
@@ -406,12 +480,15 @@ def mp_encode_pallas(
     n_raw: int | None = None,
     num_select: int = 1,
     interpret: bool = False,
+    accept_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
     Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
+    `accept_mode` overrides HSC_TPU_KERNEL_ACCEPT (tests exercise every
+    accept-path combination in one process this way).
     """
     scores0, e0, peak = encode_init(xs, bank)
     scale, inv = quantizer_steps(jax.device_get(peak), amp_bits)
@@ -419,7 +496,7 @@ def mp_encode_pallas(
         scores0, e0, jnp.asarray(scale), jnp.asarray(inv), bank, gram_t,
         num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
         singleton_weight=singleton_weight, n_raw=n_raw,
-        num_select=num_select, interpret=interpret,
+        num_select=num_select, interpret=interpret, accept_mode=accept_mode,
     )
 
 
@@ -427,7 +504,7 @@ def mp_encode_pallas(
     jax.jit,
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
-        "num_select", "interpret",
+        "num_select", "interpret", "accept_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -445,6 +522,7 @@ def _mp_pallas_stage(
     n_raw: int | None,
     num_select: int = 1,
     interpret: bool = False,
+    accept_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -488,7 +566,20 @@ def _mp_pallas_stage(
 
     env_vmem = _os.environ.get("HSC_TPU_KERNEL_VMEM_MB")
     group_cap = int(_os.environ.get("HSC_TPU_KERNEL_GROUP_CAP", "4"))
-    per_block = (k8 * p2 + fold * (l8 + cw) + k8 * cw) * 4
+    # Per-accept work placement: HSC_TPU_KERNEL_ACCEPT selects which halves
+    # of the accept run as one-hot MXU matmuls vs the all-VPU forms —
+    # 'legacy' (VPU extraction + roll/firewall update), 'extract' (MXU
+    # extraction only), 'update' (MXU placement only, no firewall scratch),
+    # 'mxu' (both).  All four emit bitwise-identical streams
+    # (hardware-verified); the default is the fastest measured combination.
+    if accept_mode is None:
+        accept_mode = _os.environ.get("HSC_TPU_KERNEL_ACCEPT", "extract")
+    mxu_extract = accept_mode in ("mxu", "extract")
+    mxu_update = accept_mode in ("mxu", "update")
+    uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
+    per_block = (
+        k8 * p2 + fold * (l8 + cw) + (0 if mxu_update else k8 * cw)
+    ) * 4
     gram_bytes = k8 * k8 * lag * 4
     vmem_budget = (int(env_vmem) if env_vmem else 12) << 20
     min2 = 2 * per_block + gram_bytes
@@ -520,8 +611,16 @@ def _mp_pallas_stage(
         k=k8, w=w, lpad=lpad, npos=npos, npos_pad=npos_pad,
         num_coefs=num_coefs,
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
-        num_select=num_select,
+        num_select=num_select, mxu_extract=mxu_extract,
+        mxu_update=mxu_update, uniform_w=uniform_w,
     )
+    scratch_shapes = [
+        pltpu.VMEM((group, k8, p2), jnp.float32),
+        pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
+    ]
+    if not mxu_update:
+        scratch_shapes.append(pltpu.VMEM((group, k8, cw), jnp.float32))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((group,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b // group,),
@@ -532,6 +631,7 @@ def _mp_pallas_stage(
             pl.BlockSpec(memory_space=pltpu.ANY),  # scores stay in HBM
             pl.BlockSpec((k8, k8, lag), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # positions [B, M]
@@ -541,12 +641,7 @@ def _mp_pallas_stage(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e_res [B, 1]
         ],
-        scratch_shapes=[
-            pltpu.VMEM((group, k8, p2), jnp.float32),
-            pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
-            pltpu.VMEM((group, k8, cw), jnp.float32),
-            pltpu.SemaphoreType.DMA((group,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, num_coefs), jnp.int32),
@@ -568,7 +663,7 @@ def _mp_pallas_stage(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(e0[:, None], scale_in[:, None], inv_in[:, None], scores0,
-      jnp.asarray(gram_t), weights)
+      jnp.asarray(gram_t), weights, weights.reshape(1, k8))
     # SMEM event buffers beyond `count` are uninitialized — mask to match the
     # zero-padded contract of mp_encode_jax.
     mask = jnp.arange(num_coefs)[None, :] < count

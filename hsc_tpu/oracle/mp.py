@@ -424,12 +424,15 @@ def to_distributed(
     n = int(top_stream.positions.shape[0])
     levels = np.full(n, level, np.int32)
     atoms = top_stream.atoms.astype(np.int32).copy()
-    for i in range(n):
-        lv, a = int(levels[i]), int(atoms[i])
-        while lv > 0 and a >= cfg.counts[lv]:
-            a -= cfg.counts[lv]
-            lv -= 1
-        levels[i], atoms[i] = lv, a
+    # Demotion through singleton chains, vectorized one level per pass: at
+    # level lv every event whose atom index is past the raw atoms is a
+    # singleton, i.e. the event (atom - counts[lv]) one level down.  A chain
+    # can only descend, so `num_levels` passes settle every event — O(L·n)
+    # NumPy instead of a per-event Python while loop (corpus-scale streams).
+    for lv in range(level, 0, -1):
+        demote = (levels == lv) & (atoms >= cfg.counts[lv])
+        atoms[demote] -= cfg.counts[lv]
+        levels[demote] -= 1
     out = []
     for lv in range(level + 1):
         sel = np.nonzero(levels == lv)[0]
@@ -480,28 +483,43 @@ def to_top_level(
     scales = {float(s.scale) for _, s in streams if s.positions.shape[0]}
     if len(scales) > 1:
         raise ValueError(f"streams carry different quantizer scales: {scales}")
-    parts = []  # (orig_level, index_within_stream, pos, atom, code)
+    # Vectorized promotion: the singleton offset from level lv to the target
+    # is the constant sum(counts[lv+1 .. level]) added to every atom of the
+    # stream; validity is a max-position check per intermediate level
+    # (num_positions shrinks upward).  O(streams·L + n) NumPy instead of a
+    # per-event Python loop (VERDICT r2 #8; corpus-scale re-promotion).
+    lv_parts, i_parts, p_parts, a_parts, c_parts = [], [], [], [], []
     for lv, s in streams:
         if lv > level:
             raise ValueError(f"stream level {lv} above target {level}")
-        for i in range(s.positions.shape[0]):
-            a = int(s.atoms[i])
-            p = int(s.positions[i])
-            for up in range(lv + 1, level + 1):
-                if p >= cfg.num_positions(up):
-                    raise ValueError(
-                        f"event at position {p} (level {lv}) has no singleton "
-                        f"placement at level {up}"
-                    )
-                a = cfg.counts[up] + a
-            parts.append((lv, i, p, a, int(s.codes[i])))
-    # deterministic merge: ascending source level, then source order
-    parts.sort(key=lambda t: (t[0], t[1]))
+        p = s.positions.astype(np.int32)
+        a = s.atoms.astype(np.int32)
+        offset = 0
+        for up in range(lv + 1, level + 1):
+            bad = p >= cfg.num_positions(up)
+            if bad.any():
+                raise ValueError(
+                    f"event at position {int(p[bad.argmax()])} (level {lv}) "
+                    f"has no singleton placement at level {up}"
+                )
+            offset += cfg.counts[up]
+        n_s = p.shape[0]
+        lv_parts.append(np.full(n_s, lv, np.int32))
+        i_parts.append(np.arange(n_s, dtype=np.int64))
+        p_parts.append(p)
+        a_parts.append(a + np.int32(offset))
+        c_parts.append(s.codes.astype(np.int32))
+    lv_all = np.concatenate(lv_parts)
+    i_all = np.concatenate(i_parts)
+    # deterministic merge: ascending source level, then index within stream
+    # (lexsort is stable, so full ties keep input stream order — identical to
+    # the spec loop's stable sort by (level, index))
+    order = np.lexsort((i_all, lv_all))
     top = next((s for lv, s in streams if lv == level), streams[-1][1])
     return LevelStream(
-        positions=np.asarray([p for _, _, p, _, _ in parts], np.int32),
-        atoms=np.asarray([a for _, _, _, a, _ in parts], np.int32),
-        codes=np.asarray([c for _, _, _, _, c in parts], np.int32),
+        positions=np.concatenate(p_parts)[order],
+        atoms=np.concatenate(a_parts)[order],
+        codes=np.concatenate(c_parts)[order],
         scale=np.float32(streams[0][1].scale if not scales else list(scales)[0]),
         energy0=float(top.energy0),
         energy_res=float(top.energy_res),

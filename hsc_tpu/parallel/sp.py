@@ -31,6 +31,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.encode import EncodedBlock
 
 
+@jax.jit
+def _block_energy(x: jax.Array) -> jax.Array:
+    """Float32 block energy — the exact expression of the single-device init
+    (`ops.encode.encode_init_jax`), compiled standalone so the value feeds
+    the sharded loop as a replicated scalar."""
+    return jnp.sum(jnp.square(x.astype(jnp.float32)))
+
+
 def sp_encode(
     mesh: Mesh,
     x: jax.Array,
@@ -55,11 +63,12 @@ def sp_encode(
     snapshot, one per contiguous position segment, accepted left-to-right
     under the 2W-1 interference guard — segments may span shards, so each
     segment runs the same pmax/pmin/psum selection collectives as a plain
-    iteration.  Caveat: with `tolerance_snr` set, e0 is a psum of per-shard
-    partial sums whose float32 value can differ from the single-device sum by
-    ulps, so the SNR stop can trigger one event earlier/later than the
-    single-device encoder near the threshold; the emitted stream is still a
-    valid spec stream.
+    iteration.  The block energy e0 is a scalar *init input* (the oracle
+    accepts it injected, like scores0): it is computed ONCE here with the
+    same full-array float32 reduction the single-device init uses and
+    broadcast to every shard, so the SNR stop is bitwise identical to the
+    single-device encoder even exactly at the threshold — no psum of
+    per-shard partials is involved.
     """
     k, w, c = bank.shape
     if n_raw is None:
@@ -104,8 +113,7 @@ def sp_encode(
         valid = (gpos0 + jnp.arange(l)) < npos_total  # [L]
         peak_loc = jnp.max(jnp.where(valid[None, :], jnp.abs(scores0), 0.0))
         peak = jax.lax.pmax(peak_loc, axis)
-        e0 = jax.lax.psum(jnp.sum(jnp.square(x_loc)), axis)
-        return scores0, e0, peak
+        return scores0, peak
 
     def shard_fn(scores0, e0, scale, inv_scale, bank, gram_t):
         # scores0: the local [K, L] shard of the init correlation; scale /
@@ -344,11 +352,16 @@ def sp_encode(
             init_fn,
             mesh=mesh,
             in_specs=(P(axis, None), P()),
-            out_specs=(P(None, axis), P(), P()),
+            out_specs=(P(None, axis), P()),
             check_vma=False,
         )
     )
-    scores0_g, e0, peak = init(x, bank)
+    scores0_g, peak = init(x, bank)
+    # e0 is an init input to the spec loop (oracle.mp.mp_encode accepts it
+    # injected): ONE full-array reduction, identical to the single-device
+    # init's `jnp.sum(jnp.square(x))`, so SP's SNR stop is bitwise the
+    # single-device stop unconditionally — never a psum of shard partials.
+    e0 = _block_energy(x)
     scale, inv = quantizer_steps(np.asarray(jax.device_get(peak)), amp_bits)
     loop = jax.jit(
         jax.shard_map(

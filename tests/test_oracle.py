@@ -211,6 +211,120 @@ def test_distributed_conversion_roundtrip(mld2, signal2):
     assert np.allclose(recon_top, recon_dist, atol=1e-5)
 
 
+def _to_distributed_loop(cfg, top_stream, level):
+    """The spec's per-event demotion loop (pre-vectorization oracle form) —
+    kept as the cross-check for the vectorized `to_distributed`."""
+    from hsc_tpu.oracle.mp import LevelStream
+
+    n = int(top_stream.positions.shape[0])
+    levels = np.full(n, level, np.int32)
+    atoms = top_stream.atoms.astype(np.int32).copy()
+    for i in range(n):
+        lv, a = int(levels[i]), int(atoms[i])
+        while lv > 0 and a >= cfg.counts[lv]:
+            a -= cfg.counts[lv]
+            lv -= 1
+        levels[i], atoms[i] = lv, a
+    out = []
+    for lv in range(level + 1):
+        sel = np.nonzero(levels == lv)[0]
+        if sel.size == 0:
+            continue
+        out.append((lv, LevelStream(
+            positions=top_stream.positions[sel].astype(np.int32),
+            atoms=atoms[sel],
+            codes=top_stream.codes[sel].astype(np.int32),
+            scale=np.float32(top_stream.scale),
+            energy0=float(top_stream.energy0) if lv == level else 0.0,
+            energy_res=float(top_stream.energy_res) if lv == level else 0.0,
+        )))
+    return out
+
+
+def _to_top_level_loop(cfg, streams, level):
+    """The spec's per-event promotion loop (pre-vectorization oracle form) —
+    kept as the cross-check for the vectorized `to_top_level`."""
+    parts = []
+    for lv, s in streams:
+        for i in range(s.positions.shape[0]):
+            a, p = int(s.atoms[i]), int(s.positions[i])
+            for up in range(lv + 1, level + 1):
+                assert p < cfg.num_positions(up)
+                a = cfg.counts[up] + a
+            parts.append((lv, i, p, a, int(s.codes[i])))
+    parts.sort(key=lambda t: (t[0], t[1]))
+    return (
+        [p for _, _, p, _, _ in parts],
+        [a for _, _, _, a, _ in parts],
+        [c for _, _, _, _, c in parts],
+    )
+
+
+def test_conversions_match_loop_spec(mld2):
+    """Fuzz: the vectorized to_distributed/to_top_level equal the per-event
+    loop spec exactly — same partition, same ordering, same promoted merge
+    (VERDICT r2 #8)."""
+    from hsc_tpu.oracle import to_distributed, to_top_level
+    from hsc_tpu.oracle.mp import LevelStream
+
+    cfg = mld2.config
+    top_level = cfg.num_levels - 1
+    ka = cfg.counts_with_singletons[top_level]
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        top = LevelStream(
+            positions=rng.integers(
+                0, cfg.num_positions(top_level), n
+            ).astype(np.int32),
+            atoms=rng.integers(0, ka, n).astype(np.int32),
+            codes=rng.integers(-100, 101, n).astype(np.int32),
+            scale=np.float32(0.01),
+            energy0=float(rng.uniform(1, 10)),
+            energy_res=float(rng.uniform(0, 1)),
+        )
+        got = to_distributed(cfg, top)
+        want = _to_distributed_loop(cfg, top, top_level)
+        assert [lv for lv, _ in got] == [lv for lv, _ in want]
+        for (_, g), (_, w) in zip(got, want):
+            np.testing.assert_array_equal(g.positions, w.positions)
+            np.testing.assert_array_equal(g.atoms, w.atoms)
+            np.testing.assert_array_equal(g.codes, w.codes)
+        if got:
+            merged = to_top_level(cfg, got)
+            lp, la, lc = _to_top_level_loop(cfg, got, top_level)
+            np.testing.assert_array_equal(merged.positions, lp)
+            np.testing.assert_array_equal(merged.atoms, la)
+            np.testing.assert_array_equal(merged.codes, lc)
+
+
+def test_conversions_corpus_scale_fast(mld2):
+    """A 1M-event stream demotes AND re-promotes in <1 s (vectorized forms;
+    the old per-event Python loops took minutes at this size)."""
+    import time
+
+    from hsc_tpu.oracle import to_distributed, to_top_level
+    from hsc_tpu.oracle.mp import LevelStream
+
+    cfg = mld2.config
+    top_level = cfg.num_levels - 1
+    ka = cfg.counts_with_singletons[top_level]
+    rng = np.random.default_rng(5)
+    n = 1_000_000
+    top = LevelStream(
+        positions=rng.integers(0, cfg.num_positions(top_level), n).astype(np.int32),
+        atoms=rng.integers(0, ka, n).astype(np.int32),
+        codes=rng.integers(-100, 101, n).astype(np.int32),
+        scale=np.float32(0.01), energy0=1.0, energy_res=0.1,
+    )
+    t0 = time.perf_counter()
+    parts = to_distributed(cfg, top)
+    merged = to_top_level(cfg, parts)
+    dt = time.perf_counter() - t0
+    assert merged.positions.shape[0] == n
+    assert dt < 1.0, f"conversion round-trip took {dt:.2f}s"
+
+
 def test_to_top_level_rejects_unplaceable_position(mld2):
     """A lower-level event past the top level's placement range cannot be
     promoted (the singleton window would overrun the sequence)."""

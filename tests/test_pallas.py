@@ -36,6 +36,38 @@ def test_pallas_matches_jax_path(mld1):
         np.testing.assert_array_equal(np.asarray(pk.scale[b]), np.asarray(ref.scale))
 
 
+@pytest.mark.parametrize("mode", ["legacy", "extract", "update", "mxu"])
+@pytest.mark.parametrize("ns", [1, "sweep"])
+def test_pallas_accept_modes_bitwise(mld1, mode, ns):
+    """Every accept-path placement (VPU vs one-hot MXU extraction/update,
+    HSC_TPU_KERNEL_ACCEPT) emits the identical stream — the one-hot matmuls
+    are exact passthroughs, so mode selection is purely a performance knob.
+    Covers plain greedy and multi-select sweeps, plus non-uniform selection
+    weights (singleton_weight path)."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=93)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = mld1.config.num_coefs[0]
+    if ns == "sweep":
+        from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+        npos = mld1.config.num_positions(0)
+        w = mld1.config.window_sizes[0]
+        ns = max(pallas_num_select_options(npos, w))
+    kw = dict(
+        num_coefs=nc, num_select=ns, interpret=True,
+        singleton_weight=0.9, n_raw=bank.shape[0] - 2,
+    )
+    ref = mp_encode_pallas(xb, bank, gt, accept_mode="legacy", **kw)
+    got = mp_encode_pallas(xb, bank, gt, accept_mode=mode, **kw)
+    for fld in ("positions", "atoms", "codes", "count", "scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
+        )
+
+
 def test_pallas_unaligned_atom_count():
     """K not a multiple of 8 (e.g. hierarchy levels whose raw+singleton count
     is odd-sized): the kernel pads the atom axis with silent rows — streams

@@ -97,11 +97,9 @@ def test_sp_encode_matches_single_device(seq_mesh, mld1):
 
 
 def test_sp_encode_snr_stop(seq_mesh, mld1):
-    """SP with an SNR stop: the stream reaches the target and — in the
-    typical non-borderline case — matches the single-device stream event for
-    event.  (The documented caveat in parallel/sp.py: the psum'd e0 can
-    differ from the single-device reduction by ulps, which can flip a stop
-    decision exactly at the threshold; this config stops well clear of it.)"""
+    """SP with an SNR stop: the stream reaches the target and matches the
+    single-device stream event for event (e0 is injected from one full-array
+    reduction, so the stop is bitwise; see also the borderline test below)."""
     cfg = mld1.config
     gen = SignalGenerator(mld1, rates=4e-3)
     x = gen.generate_signals(1, cfg.block_size, seed=62)[0]
@@ -360,10 +358,9 @@ def test_tp_encode_num_select_matches_single_device(mld1):
 
 
 def test_sp_encode_tolerance_snr_stop(seq_mesh, mld1):
-    """SP with an SNR stop: e0 is a psum of shard partials, so the stop can
-    differ from single-device by at most one event near the threshold (the
-    documented caveat); the emitted stream must still be a valid prefix-or-
-    extension of the single-device stream and reach the target SNR."""
+    """SP with an SNR stop is bitwise the single-device encoder: e0 is one
+    full-array init reduction injected into the sharded loop (never a psum of
+    shard partials), so the stop decision cannot flip even at the threshold."""
     cfg = mld1.config
     x = SignalGenerator(mld1, rates=4e-3).generate_signals(
         1, cfg.block_size, seed=67
@@ -379,15 +376,43 @@ def test_sp_encode_tolerance_snr_stop(seq_mesh, mld1):
         seq_mesh, jnp.asarray(x)[:, None], jnp.asarray(bank),
         jnp.asarray(gram_t), num_coefs=cfg.num_coefs[0], tolerance_snr=tol,
     )
-    n_single, n_sp = int(single.count), int(sp.count)
-    assert abs(n_sp - n_single) <= 1
-    n = min(n_sp, n_single)
-    np.testing.assert_array_equal(
-        np.asarray(sp.positions[:n]), np.asarray(single.positions[:n])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(sp.codes[:n]), np.asarray(single.codes[:n])
-    )
-    # the SNR target is reached (within the one-event caveat)
+    assert np.float32(sp.energy0) == np.float32(single.energy0)
+    _assert_streams_equal(sp, single)
     snr = 10 * np.log10(float(sp.energy0) / max(float(sp.energy_res), 1e-20))
-    assert snr >= tol - 0.5
+    assert snr >= tol
+
+
+def test_sp_encode_snr_stop_borderline(seq_mesh, mld1):
+    """SNR stop exactly AT the threshold: tolerance is set to the SNR the
+    single-device stream achieves at its final event, so the stop comparison
+    `e_res <= e0 * 10^(-tol/10)` lands within float ulps of equality — the
+    regime where the old psum'd-e0 SP could flip by one event.  The stream
+    must be bitwise identical regardless."""
+    cfg = mld1.config
+    x = SignalGenerator(mld1, rates=4e-3).generate_signals(
+        1, cfg.block_size, seed=68
+    )[0]
+    bank = mld1.augmented(0)
+    gram_t = np.ascontiguousarray(mld1.gram(0).transpose(1, 0, 2))
+    probe = mp_encode_jax(
+        jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+        num_coefs=cfg.num_coefs[0], tolerance_snr=5.0,
+    )
+    assert 0 < int(probe.count) < cfg.num_coefs[0]
+    # the exact SNR at the stop event — re-running at this tolerance puts the
+    # threshold right on the achieved residual energy
+    tol = 10.0 * float(
+        np.log10(float(probe.energy0) / float(probe.energy_res))
+    )
+    for t in (tol, np.nextafter(tol, 0.0), np.nextafter(tol, np.inf)):
+        single = mp_encode_jax(
+            jnp.asarray(x)[:, None], jnp.asarray(bank), jnp.asarray(gram_t),
+            num_coefs=cfg.num_coefs[0], tolerance_snr=float(t),
+        )
+        sp = sp_encode(
+            seq_mesh, jnp.asarray(x)[:, None], jnp.asarray(bank),
+            jnp.asarray(gram_t), num_coefs=cfg.num_coefs[0],
+            tolerance_snr=float(t),
+        )
+        assert np.float32(sp.energy0) == np.float32(single.energy0)
+        _assert_streams_equal(sp, single)
