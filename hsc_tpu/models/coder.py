@@ -421,9 +421,11 @@ class HierarchicalConvolutionalSparseCoder:
             pos[b], atm[b], cds[b], cnt[b] = p, a, c, n
             scl[b] = np.float32(s.scale)
         if mode == "integer":
+            from ..ops.decode_integer_kernel import mp_decode_integer_batch
+
             rep_q, step = self._rep_q(level, rep_bits or cfg.rep_bits)
             amp_step = (scl * np.float32(step)).astype(np.float32)
-            return mp_decode_integer_batch_jax(
+            return mp_decode_integer_batch(
                 jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
                 jnp.asarray(cnt), jnp.asarray(amp_step), rep_q,
                 n=cfg.block_size,
@@ -432,7 +434,13 @@ class HierarchicalConvolutionalSparseCoder:
             jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
             jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],
         )
-        if jax.default_backend() in ("tpu", "axon"):
+        # The fused ordered-decode kernel is single-channel only (the
+        # signal-space reconstruction surface — rep banks are always C == 1;
+        # docs/DESIGN.md "decode"); multichannel banks take the XLA scan.
+        if (
+            jax.default_backend() in ("tpu", "axon")
+            and self._rep_banks[level].shape[-1] == 1
+        ):
             from ..ops.decode_kernel import mp_decode_pallas
 
             return mp_decode_pallas(*args, n=cfg.block_size)

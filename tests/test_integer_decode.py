@@ -131,6 +131,159 @@ def test_wraparound_determinism():
     assert np.asarray(dev).tobytes() == oracle.tobytes()
 
 
+def _batch_arrays(streams, step, cap=None):
+    import jax.numpy as jnp
+
+    cap = cap or max(s.positions.shape[0] for s in streams)
+    nb = len(streams)
+    pos = np.zeros((nb, cap), np.int32)
+    atm = np.zeros((nb, cap), np.int32)
+    cds = np.zeros((nb, cap), np.int32)
+    cnt = np.zeros(nb, np.int32)
+    amp = np.zeros(nb, np.float32)
+    for b, s in enumerate(streams):
+        n = s.positions.shape[0]
+        pos[b, :n], atm[b, :n], cds[b, :n], cnt[b] = (
+            s.positions, s.atoms, s.codes, n,
+        )
+        amp[b] = np.float32(np.float32(s.scale) * np.float32(step))
+    return tuple(jnp.asarray(a) for a in (pos, atm, cds, cnt, amp))
+
+
+def test_pallas_integer_kernel_bitwise(mld1):
+    """The fused Pallas integer-decode kernel (interpret mode) is bitwise the
+    oracle — gather/shift/bucket run as one-hot MXU matmuls + uniform-roll
+    bit-shifts entirely in VMEM, but every step is the same exact integer
+    arithmetic (VERDICT r2 #2)."""
+    import jax.numpy as jnp
+
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    cfg = mld1.config
+    rep_q, step = rep_quantize(mld1.augmented(0), cfg.rep_bits)
+    streams, _ = _streams(mld1, nb=4, seed=5)
+    args = _batch_arrays(streams, step)
+    out = np.asarray(
+        mp_decode_integer_pallas(
+            *args, jnp.asarray(rep_q), n=cfg.block_size, interpret=True
+        )
+    )
+    for b, s in enumerate(streams):
+        oracle = mp_decode_integer(s, rep_q, step, cfg.block_size)
+        assert out[b].tobytes() == oracle.tobytes()
+
+
+def test_pallas_integer_kernel_count_masking(mld1):
+    """Events past `count` contribute nothing (cz masking), exactly like the
+    XLA path's padded buffers."""
+    import jax.numpy as jnp
+
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    cfg = mld1.config
+    rep_q, step = rep_quantize(mld1.augmented(0), cfg.rep_bits)
+    streams, _ = _streams(mld1, nb=2, seed=9)
+    cap = max(s.positions.shape[0] for s in streams) + 37
+    pos, atm, cds, cnt, amp = _batch_arrays(streams, step, cap=cap)
+    # poison the padding beyond count: decode must ignore it
+    pos = pos.at[:, -5:].set(13)
+    atm = atm.at[:, -5:].set(1)
+    cds = cds.at[:, -5:].set(999)
+    out = np.asarray(
+        mp_decode_integer_pallas(
+            pos, atm, cds, cnt, amp, jnp.asarray(rep_q),
+            n=cfg.block_size, interpret=True,
+        )
+    )
+    for b, s in enumerate(streams):
+        oracle = mp_decode_integer(s, rep_q, step, cfg.block_size)
+        assert out[b].tobytes() == oracle.tobytes()
+
+
+def test_pallas_integer_kernel_wraparound():
+    """The kernel reproduces the spec's mod-2^32 wraparound bitwise."""
+    import jax.numpy as jnp
+
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    w = 16
+    rep_q = np.full((1, w, 1), 4095, np.int32)
+    n = 64
+    m = 512
+    s = LevelStream(
+        positions=np.zeros(m, np.int32), atoms=np.zeros(m, np.int32),
+        codes=np.full(m, 32767, np.int32), scale=np.float32(1e-4),
+        energy0=1.0, energy_res=1.0,
+    )
+    oracle = mp_decode_integer(s, rep_q, np.float32(2e-4), n)
+    assert not np.all(oracle >= 0)
+    amp_step = np.float32(np.float32(s.scale) * np.float32(2e-4))
+    out = np.asarray(
+        mp_decode_integer_pallas(
+            jnp.asarray(s.positions)[None], jnp.asarray(s.atoms)[None],
+            jnp.asarray(s.codes)[None], jnp.asarray([m], np.int32),
+            jnp.asarray([amp_step], np.float32), jnp.asarray(rep_q),
+            n=n, interpret=True,
+        )
+    )
+    assert out[0].tobytes() == oracle.tobytes()
+
+
+def test_pallas_integer_kernel_odd_geometry():
+    """Odd window width / non-128 event counts / tail buckets: fuzz a few
+    adversarial geometries against the oracle."""
+    import jax.numpy as jnp
+
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    rng = np.random.default_rng(17)
+    for w, n, k, m in ((33, 700, 5, 50), (8, 129, 3, 200), (160, 4096, 12, 64)):
+        rep_q = rng.integers(-2047, 2048, (k, w, 1)).astype(np.int32)
+        npos = n - w + 1
+        cnt = int(rng.integers(0, m + 1))
+        s = LevelStream(
+            positions=rng.integers(0, npos, m).astype(np.int32),
+            atoms=rng.integers(0, k, m).astype(np.int32),
+            codes=rng.integers(-32767, 32768, m).astype(np.int32),
+            scale=np.float32(3e-4), energy0=1.0, energy_res=1.0,
+        )
+        trimmed = LevelStream(
+            positions=s.positions[:cnt], atoms=s.atoms[:cnt],
+            codes=s.codes[:cnt], scale=s.scale, energy0=1.0, energy_res=1.0,
+        )
+        oracle = mp_decode_integer(trimmed, rep_q, np.float32(1e-4), n)
+        amp_step = np.float32(np.float32(s.scale) * np.float32(1e-4))
+        out = np.asarray(
+            mp_decode_integer_pallas(
+                jnp.asarray(s.positions)[None], jnp.asarray(s.atoms)[None],
+                jnp.asarray(s.codes)[None], jnp.asarray([cnt], np.int32),
+                jnp.asarray([amp_step], np.float32), jnp.asarray(rep_q),
+                n=n, interpret=True,
+            )
+        )
+        assert out[0].tobytes() == oracle.tobytes(), f"geometry w={w} n={n}"
+
+
+def test_integer_dispatch_falls_back_multichannel():
+    """`mp_decode_integer_batch` routes multichannel reps to the XLA path
+    (the kernel is single-channel only, like the ordered decode kernel)."""
+    from hsc_tpu.ops.decode_integer_kernel import (
+        mp_decode_integer_batch,
+        pallas_integer_decode_ok,
+    )
+
+    rep_q = np.ones((3, 8, 2), np.int32)
+    assert not pallas_integer_decode_ok(rep_q, 16, 64)
+    import jax.numpy as jnp
+
+    out = mp_decode_integer_batch(
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.float32), jnp.asarray(rep_q), n=64,
+    )
+    assert np.asarray(out).shape == (1, 64, 2)
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="decode_mode"):
         make_test_config(decode_mode="bogus")

@@ -107,3 +107,61 @@ def test_reconstruction_quality(mld1, signal1):
     stream = coder.encode(signal1)
     recon = coder.reconstruct(stream, n=mld1.config.block_size)[:, 0]
     assert snr_db(signal1, recon) > 3.0
+
+
+def test_decode_kernel_dispatch_guards(mld2, monkeypatch):
+    """On a TPU backend the fused decode kernels serve single-channel
+    (signal-space) banks only; multichannel banks must take the XLA paths —
+    the guards are explicit, not an accidental ValueError (VERDICT r2 #9)."""
+    import jax
+
+    import hsc_tpu.models.coder as coder_mod
+    from hsc_tpu.oracle.mp import LevelStream
+
+    coder = HierarchicalConvolutionalSparseCoder(mld2, backend="jax")
+    top = mld2.config.num_levels - 1
+    gen = SignalGenerator(mld2, rates=2e-2)
+    x = gen.generate_signals(1, mld2.config.block_size, seed=55)[0]
+    stream = coder.encode(x)[top]
+
+    # all rep banks ARE single-channel — the kernel covers every real
+    # signal-space decode; the guard below is for the feature-space banks
+    for lv in range(mld2.config.num_levels):
+        assert coder._rep_banks[lv].shape[-1] == 1
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas kernel must not see multichannel banks")
+
+    # force a multichannel rep bank: dispatch must fall back to the XLA scan
+    import jax.numpy as jnp
+
+    two_ch = jnp.concatenate(
+        [coder._rep_banks[top], coder._rep_banks[top]], axis=-1
+    )
+    monkeypatch.setitem(coder._rep_banks, top, two_ch) if isinstance(
+        coder._rep_banks, dict
+    ) else None
+    if not isinstance(coder._rep_banks, dict):
+        coder._rep_banks = list(coder._rep_banks)
+        coder._rep_banks[top] = two_ch
+    monkeypatch.setattr(
+        "hsc_tpu.ops.decode_kernel.mp_decode_pallas", _boom
+    )
+    out = coder.reconstruct_batch_device([stream], level=top, mode="ordered")
+    assert out.shape[-1] == 2  # XLA path ran on the 2-channel bank
+
+    # integer mode: the dispatcher routes multichannel reps to XLA too
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_batch
+
+    monkeypatch.setattr(
+        "hsc_tpu.ops.decode_integer_kernel.mp_decode_integer_pallas", _boom
+    )
+    rep_q = np.ones((3, 8, 2), np.int32)
+    out2 = mp_decode_integer_batch(
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.float32), jnp.asarray(rep_q), n=64,
+    )
+    assert np.asarray(out2).shape == (1, 64, 2)
