@@ -113,6 +113,7 @@ def _mp_kernel(
     num_select: int,
     mxu_extract: bool,
     mxu_update: bool,
+    sweep_batched: bool,
     uniform_w: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
@@ -224,35 +225,24 @@ def _mp_kernel(
             alive = jnp.logical_or(alive, jnp.logical_not(dones[g]))
         return jnp.logical_and(i < num_coefs, alive)
 
-    def process_candidate(g, t, extra_ok, guard_last_t, done, e_res, count):
-        """Quantize + update for one candidate position t of group member g.
-
-        `extra_ok` folds any additional acceptance conditions (multi-select
-        segment validity / budget); `guard_last_t` is the last accepted
-        position this sweep (-1 = none) for the 2W-1 interference guard, or
-        None for single-select.  Returns (emit, done, e_res, count, t).
-        """
+    def extract_candidate(g, t):
+        """Selection + quantization for position t from the CURRENT scores:
+        the serial half of an accept.  Returns (a, o, chunk, f, s, code_f,
+        code) — `chunk` is the aligned [K, CW] window read this makes, so
+        the serial accept path can reuse it for the update."""
         cs = t + lpad - (w - 1)
         a = pl.multiple_of((cs // 128) * 128, 128)
         o = cs - a
         chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
-        if mxu_update:
-            # 0/1 placement matrix for this accept: P[i, j] = (j == o + i).
-            # A one-hot x f32 matmul at HIGHEST precision is an EXACT
+        if mxu_extract:
+            # One-hot x f32 matmul at HIGHEST precision is an EXACT
             # passthrough: 1.0 is exact in bf16, the f32 operand's 3-way
             # bf16 split telescopes exactly (hi+mid spans 17 mantissa bits,
             # +lo reconstructs the original 24), and the remaining products
-            # are exact zeros — so MXU extraction/placement is bitwise the
-            # VPU mask-and-sum it replaces, while costing no VPU issue slots.
-            pmat = jnp.where(dmat == o, jnp.float32(1), jnp.float32(0))
-        if mxu_extract:
-            # extraction one-hot: row w-1 of pmat (lane o + w-1)
-            emat = (
-                pmat[w - 1 : w, :]
-                if mxu_update
-                else jnp.where(
-                    lane_ids == o + (w - 1), jnp.float32(1), jnp.float32(0)
-                )
+            # are exact zeros — so MXU extraction is bitwise the VPU
+            # mask-and-sum it replaces, while costing no VPU issue slots.
+            emat = jnp.where(
+                lane_ids == o + (w - 1), jnp.float32(1), jnp.float32(0)
             )
             col_row = jax.lax.dot_general(
                 emat, chunk, (((1,), (1,)), ((), ())),
@@ -280,6 +270,17 @@ def _mp_kernel(
         r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
         code_f = jnp.clip(r, -jnp.float32(maxcode), jnp.float32(maxcode))
         code = code_f.astype(jnp.int32)
+        return a, o, chunk, f, s, code_f, code
+
+    def process_candidate(g, t, extra_ok, guard_last_t, done, e_res, count):
+        """Quantize + update for one candidate position t of group member g.
+
+        `extra_ok` folds any additional acceptance conditions (multi-select
+        segment validity / budget); `guard_last_t` is the last accepted
+        position this sweep (-1 = none) for the 2W-1 interference guard, or
+        None for single-select.  Returns (emit, done, e_res, count, t).
+        """
+        a, o, chunk, f, s, code_f, code = extract_candidate(g, t)
         emit = jnp.logical_and(jnp.logical_not(done), code != 0)
         emit = jnp.logical_and(emit, extra_ok)
         if guard_last_t is not None:
@@ -301,14 +302,26 @@ def _mp_kernel(
         e_step = jnp.float32(2.0) * c_hat * s
         new_e = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
 
+        apply_window_update(g, a, o, f, c_hat, chunk)
+
+        snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
+        return emit, snr_hit, new_e, new_count
+
+    def apply_window_update(g, a, o, f, c_hat, chunk):
+        """Gram-domain windowed update + colmax cache refresh for one accept
+        at aligned chunk (a, o): ``chunk - c_hat * place(gram[f], o)`` stored
+        back, then the folded selection cache rewritten from the new chunk.
+        `chunk` must be the CURRENT [K, CW] window contents."""
         gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
         if mxu_update:
             # Scale first (the spec's first float32 rounding — IEEE VPU mul
-            # on the narrow [K, lag] row), then place via the 0/1 matmul:
-            # u[k, j] = gsc[k, j - o] for j in [o, o+lag), else 0 — exact
-            # passthrough (see above), and the MXU boundary is a hard
-            # rounding point, so the subtract below cannot be FMA-contracted
-            # with the multiply: no firewall store/load is needed.
+            # on the narrow [K, lag] row), then place via the 0/1 matmul
+            # P[i, j] = (j == o + i): u[k, j] = gsc[k, j - o] for j in
+            # [o, o+lag), else 0 — exact passthrough (see extract_candidate),
+            # and the MXU boundary is a hard rounding point, so the subtract
+            # below cannot be FMA-contracted with the multiply: no firewall
+            # store/load is needed.
+            pmat = jnp.where(dmat == o, jnp.float32(1), jnp.float32(0))
             gsc = c_hat * gram_row
             u = jax.lax.dot_general(
                 gsc, pmat, (((1,), (0,)), ((), ())),
@@ -380,9 +393,6 @@ def _mp_kernel(
                 jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
             )
 
-        snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
-        return emit, snr_hit, new_e, new_count
-
     def step_one(g, done, e_res, count):
         """One plain greedy iteration for group member g."""
         cm_fold = colmax[g, :, :l8]
@@ -444,7 +454,104 @@ def _mp_kernel(
         done = jnp.logical_or(done, count >= num_coefs)
         return done, e_res, count
 
-    step = step_one if num_select <= 1 else step_sweep
+    def step_sweep_batched(g, done, e_res, count):
+        """`step_sweep` with the per-accept serial chain broken three ways
+        (VERDICT r2 #1 — sweep-batched accepts):
+
+          A. all S candidates' extractions + quantizations read the
+             PRE-SWEEP scores — independent chains the scheduler can
+             overlap.  This is exact, not approximate: a candidate that
+             gets accepted passed the 2W-1 guard, so no earlier accept of
+             the same sweep touched its score column (updates reach
+             +-(W-1) positions; accepted candidates are >= 2W-1 apart,
+             and candidates are segment-ordered left-to-right).  A
+             candidate whose column WAS touched necessarily fails the
+             guard, so its (stale) code is never used;
+          B. the accept chain (guard / budget / SNR-stop / event stores)
+             is pure scalar work over the precomputed candidates;
+          C. updates of accepted candidates run with a FRESH chunk read
+             (aligned 256-lane chunks of two accepted windows can overlap
+             even though the windows themselves are disjoint, so stale
+             phase-A chunks must not be written back), skipped entirely
+             for rejected candidates (the serial path pays the full RMW +
+             cache refresh for zero-c_hat no-ops).
+
+        Emits bit-identical streams to `step_sweep` (oracle semantics)."""
+        halves = num_select // fold
+        l8h = l8 // halves
+        cm_fold = colmax[g, :, :l8]
+        seg_max = []
+        seg_col = []
+        for h in range(halves):
+            if halves == 1:
+                vals = cm_fold
+            else:
+                in_half = jnp.logical_and(
+                    fold_cols_ids >= h * l8h, fold_cols_ids < (h + 1) * l8h
+                )
+                vals = jnp.where(in_half, cm_fold, jnp.float32(-1))
+            m_h = jnp.max(vals, axis=1, keepdims=True)
+            seg_max.append(m_h)
+            seg_col.append(
+                jnp.min(
+                    jnp.where(vals == m_h, fold_cols_ids, big_pos),
+                    axis=1,
+                    keepdims=True,
+                )
+            )
+        # ---- phase A: independent candidate extractions (pre-sweep) -------
+        cands = []
+        for j in range(fold):
+            for h in range(halves):
+                seg_exists = seg_max[h][j, 0] >= 0
+                t_j = (j * l8 + seg_col[h][j, 0]).astype(jnp.int32)
+                t_j = jnp.minimum(t_j, jnp.int32(npos - 1))
+                a, o, _chunk, f, s, code_f, code = extract_candidate(g, t_j)
+                cands.append((t_j, seg_exists, a, o, f, s, code_f, code))
+        # ---- phase B: scalar accept chain ----------------------------------
+        last_t = jnp.int32(-1)
+        any_acc = jnp.bool_(False)
+        accepts = []
+        for t_j, seg_exists, a, o, f, s, code_f, code in cands:
+            seg_ok = jnp.logical_and(seg_exists, count < num_coefs)
+            guard_ok = jnp.logical_or(last_t < 0, t_j - last_t >= 2 * w - 1)
+            emit = (
+                jnp.logical_not(done) & (code != 0) & seg_ok & guard_ok
+            )
+            c_hat = jnp.where(emit, code_f * scales[g], jnp.float32(0))
+
+            @pl.when(emit)
+            def _(t_j=t_j, f=f, code=code, count=count):
+                pos_ref[base + g, count] = t_j
+                atom_ref[base + g, count] = f
+                code_ref[base + g, count] = code
+
+            count = count + emit.astype(jnp.int32)
+            e_step = jnp.float32(2.0) * c_hat * s
+            e_res = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
+            done = jnp.logical_or(
+                done, jnp.logical_and(emit, e_res <= snr_thrs[g])
+            )
+            last_t = jnp.where(emit, t_j, last_t)
+            any_acc = jnp.logical_or(any_acc, emit)
+            accepts.append((emit, a, o, f, c_hat))
+        # ---- phase C: updates for accepted candidates only -----------------
+        for emit, a, o, f, c_hat in accepts:
+
+            @pl.when(emit)
+            def _(a=a, o=o, f=f, c_hat=c_hat):
+                apply_window_update(g, a, o, f, c_hat, scores[g, :, pl.ds(a, cw)])
+
+        done = jnp.logical_or(done, jnp.logical_not(any_acc))
+        done = jnp.logical_or(done, count >= num_coefs)
+        return done, e_res, count
+
+    if num_select <= 1:
+        step = step_one
+    elif sweep_batched:
+        step = step_sweep_batched
+    else:
+        step = step_sweep
 
     def body(state):
         i, dones, e_ress, counts = state
@@ -481,14 +588,16 @@ def mp_encode_pallas(
     num_select: int = 1,
     interpret: bool = False,
     accept_mode: str | None = None,
+    sweep_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
     Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
-    `accept_mode` overrides HSC_TPU_KERNEL_ACCEPT (tests exercise every
-    accept-path combination in one process this way).
+    `accept_mode` / `sweep_mode` override HSC_TPU_KERNEL_ACCEPT /
+    HSC_TPU_KERNEL_SWEEP (tests exercise every combination in one process
+    this way).
     """
     scores0, e0, peak = encode_init(xs, bank)
     scale, inv = quantizer_steps(jax.device_get(peak), amp_bits)
@@ -497,6 +606,7 @@ def mp_encode_pallas(
         num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
         singleton_weight=singleton_weight, n_raw=n_raw,
         num_select=num_select, interpret=interpret, accept_mode=accept_mode,
+        sweep_mode=sweep_mode,
     )
 
 
@@ -504,7 +614,7 @@ def mp_encode_pallas(
     jax.jit,
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
-        "num_select", "interpret", "accept_mode",
+        "num_select", "interpret", "accept_mode", "sweep_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -523,6 +633,7 @@ def _mp_pallas_stage(
     num_select: int = 1,
     interpret: bool = False,
     accept_mode: str | None = None,
+    sweep_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -576,6 +687,13 @@ def _mp_pallas_stage(
         accept_mode = _os.environ.get("HSC_TPU_KERNEL_ACCEPT", "extract")
     mxu_extract = accept_mode in ("mxu", "extract")
     mxu_update = accept_mode in ("mxu", "update")
+    # HSC_TPU_KERNEL_SWEEP: 'batched' (default — phase-split sweeps with
+    # independent candidate extractions, see step_sweep_batched) or 'serial'
+    # (one fully-serial accept chain per candidate).  Bitwise-identical
+    # streams either way.
+    if sweep_mode is None:
+        sweep_mode = _os.environ.get("HSC_TPU_KERNEL_SWEEP", "batched")
+    sweep_batched = sweep_mode != "serial"
     uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
     per_block = (
         k8 * p2 + fold * (l8 + cw) + (0 if mxu_update else k8 * cw)
@@ -612,7 +730,8 @@ def _mp_pallas_stage(
         num_coefs=num_coefs,
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
         num_select=num_select, mxu_extract=mxu_extract,
-        mxu_update=mxu_update, uniform_w=uniform_w,
+        mxu_update=mxu_update, sweep_batched=sweep_batched,
+        uniform_w=uniform_w,
     )
     scratch_shapes = [
         pltpu.VMEM((group, k8, p2), jnp.float32),

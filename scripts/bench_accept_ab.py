@@ -23,7 +23,10 @@ import jax, jax.numpy as jnp
 from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
 from hsc_tpu.ops.pipeline import encode_batches_pipelined
 
-mode = os.environ["HSC_TPU_KERNEL_ACCEPT"]
+mode = (
+    os.environ["HSC_TPU_KERNEL_ACCEPT"]
+    + ":" + os.environ.get("HSC_TPU_KERNEL_SWEEP", "batched")
+)
 cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
 mld = MultilevelDictionary.generate(cfg, seed=7)
 gen = SignalGenerator(mld, rates=2e-3)
@@ -71,11 +74,20 @@ print(json.dumps(out))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", default="legacy,extract,update,mxu")
+    ap.add_argument(
+        "--modes",
+        default="legacy,extract,update,mxu",
+        help="comma list of ACCEPT[:SWEEP] modes, e.g. extract:batched",
+    )
     args = ap.parse_args()
     results = []
     for mode in args.modes.split(","):
-        env = dict(os.environ, HSC_TPU_KERNEL_ACCEPT=mode)
+        accept, _, sweep = mode.partition(":")
+        env = dict(
+            os.environ,
+            HSC_TPU_KERNEL_ACCEPT=accept,
+            HSC_TPU_KERNEL_SWEEP=sweep or "batched",
+        )
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,

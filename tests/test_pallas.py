@@ -60,12 +60,48 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns):
         num_coefs=nc, num_select=ns, interpret=True,
         singleton_weight=0.9, n_raw=bank.shape[0] - 2,
     )
-    ref = mp_encode_pallas(xb, bank, gt, accept_mode="legacy", **kw)
+    ref = mp_encode_pallas(
+        xb, bank, gt, accept_mode="legacy", sweep_mode="serial", **kw
+    )
     got = mp_encode_pallas(xb, bank, gt, accept_mode=mode, **kw)
     for fld in ("positions", "atoms", "codes", "count", "scale"):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
         )
+
+
+@pytest.mark.parametrize("sweep", ["serial", "batched"])
+def test_pallas_sweep_modes_bitwise(mld1, sweep):
+    """The phase-split sweep (independent candidate extractions + scalar
+    accept chain + accepted-only updates, HSC_TPU_KERNEL_SWEEP=batched) emits
+    the identical stream to the fully-serial sweep — the 2W-1 guard makes
+    pre-sweep extraction exact (see step_sweep_batched docstring), incl.
+    with an SNR stop mid-sweep."""
+    from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=94)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = mld1.config.num_coefs[0]
+    npos = mld1.config.num_positions(0)
+    w = mld1.config.window_sizes[0]
+    for ns in pallas_num_select_options(npos, w):
+        for tol in (None, 6.0):
+            kw = dict(
+                num_coefs=nc, num_select=ns, interpret=True,
+                tolerance_snr=tol, singleton_weight=0.9,
+                n_raw=bank.shape[0] - 2,
+            )
+            ref = mp_encode_pallas(xb, bank, gt, sweep_mode="serial", **kw)
+            got = mp_encode_pallas(xb, bank, gt, sweep_mode=sweep, **kw)
+            for fld in ("positions", "atoms", "codes", "count", "scale"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, fld)),
+                    np.asarray(getattr(ref, fld)),
+                    err_msg=f"ns={ns} tol={tol} field={fld}",
+                )
 
 
 def test_pallas_unaligned_atom_count():
