@@ -110,16 +110,67 @@ def test_corpus_decode_stream_matches_decode(mld1):
 
 
 def test_decode_stream_distributed_container(mld2):
-    """The streaming decoder also covers distributed containers (via the
-    batched whole-corpus fallback), byte-identical to decode()."""
+    """The streaming decoder serves distributed containers with bounded
+    memory (chunked per-level device decodes, VERDICT r2 #5), byte-identical
+    to decode() — exercised with a batch size that forces several chunks and
+    in-flight pipelining across chunk boundaries."""
     gen = SignalGenerator(mld2, rates=2e-2)
-    xs = gen.generate_signals(3, mld2.config.block_size, seed=79)
+    xs = gen.generate_signals(7, mld2.config.block_size, seed=79)
     enc = CorpusEncoder(mld2, backend="jax", batch_size=2, distributed=True)
     blob = enc.encode(xs)
     full = enc.decode(blob)
     rows = list(enc.decode_stream(blob))
-    assert len(rows) == 3
-    for b in range(3):
+    assert len(rows) == 7
+    for b in range(7):
+        assert rows[b].tobytes() == full[b].tobytes()
+
+
+def test_decode_stream_distributed_bounded_memory(mld2):
+    """The distributed streaming path never materializes the corpus: at most
+    batch_size blocks of output exist per yielded chunk, and at most 4
+    device work units are in flight (asserted by patching the device decode
+    to count live outputs)."""
+    gen = SignalGenerator(mld2, rates=2e-2)
+    xs = gen.generate_signals(8, mld2.config.block_size, seed=83)
+    enc = CorpusEncoder(mld2, backend="jax", batch_size=2, distributed=True)
+    blob = enc.encode(xs)
+    full = enc.decode(blob)
+
+    calls = {"live": 0, "max_live": 0, "n": 0}
+    real = enc.coder.reconstruct_batch_device
+
+    def counting(streams, **kw):
+        calls["n"] += 1
+        calls["live"] += 1
+        calls["max_live"] = max(calls["max_live"], calls["live"])
+        assert len(streams) <= enc.batch_size
+        return _Tracked(real(streams, **kw), calls)
+
+    class _Tracked:
+        def __init__(self, dev, counts):
+            self._dev = dev
+            self._counts = counts
+            self._fetched = False
+
+        def copy_to_host_async(self):
+            pass
+
+        def __array__(self, dtype=None):
+            if not self._fetched:
+                self._fetched = True
+                self._counts["live"] -= 1
+            a = np.asarray(self._dev)
+            return a if dtype is None else a.astype(dtype)
+
+    enc.coder.reconstruct_batch_device = counting
+    try:
+        rows = list(enc.decode_stream(blob))
+    finally:
+        enc.coder.reconstruct_batch_device = real
+    assert calls["n"] >= 4  # several chunks x levels actually dispatched
+    assert calls["max_live"] <= 4  # the sliding-pipeline bound
+    assert len(rows) == 8
+    for b in range(8):
         assert rows[b].tobytes() == full[b].tobytes()
 
 
