@@ -171,6 +171,12 @@ class DataParallelEncoder:
         the padded results are allgathered so every host sees the full corpus
         in original block order (process 0 packs the container).
 
+        The allgather makes this the SMALL-CORPUS path: every host receives
+        O(corpus-events) bytes.  At scale, use
+        `runtime.CorpusEncoder.encode_multihost` instead — each process
+        journals only its own shard to disk and process 0 assembles the
+        container (no cross-host event traffic at all).
+
         Single-process this degenerates to `encode`.
         """
         local_blocks = np.asarray(local_blocks, dtype=np.float32)
