@@ -284,6 +284,16 @@ def _validate_stream(cfg: CodecConfig, level: int, stream: LevelStream) -> Level
             raise ValueError(
                 f"corrupt stream: atom {amax} outside [0, {ka}) at level {level}"
             )
+        # amp_bits codes span [0, 2^amp_bits) raw but the encoder only emits
+        # biased values in [0, 2*maxcode]; a raw 2^amp_bits - 1 would decode
+        # to maxcode + 1, outside anything in-spec arithmetic assumes
+        cmax = int(stream.codes.max())
+        cmin = int(stream.codes.min())
+        if cmin < -cfg.amp_maxcode or cmax > cfg.amp_maxcode:
+            raise ValueError(
+                f"corrupt stream: code {cmax if cmax > cfg.amp_maxcode else cmin} "
+                f"outside [-{cfg.amp_maxcode}, {cfg.amp_maxcode}] at level {level}"
+            )
     return stream
 
 

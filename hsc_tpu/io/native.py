@@ -41,12 +41,17 @@ def _load():
     try:
         path = _lib_path()
         if not os.path.exists(path):
+            # compile to a pid-suffixed temp and rename into place: rename
+            # is atomic, so concurrent builders (multihost encode on a
+            # shared filesystem) can never dlopen a half-written library
+            tmp = f"{path}.tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", path, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            os.replace(tmp, path)
         lib = ctypes.CDLL(path)
         lib.hsc_pack_events.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,

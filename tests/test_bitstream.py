@@ -276,6 +276,18 @@ def test_out_of_range_fields_rejected():
         with pytest.raises(ValueError, match="corrupt stream"):
             unpack_stream(cfg, blob, 0)
 
+        # a raw all-ones amplitude field decodes to amp_maxcode + 1 — one
+        # beyond anything the encoder emits; symmetric with the other checks
+        bad_code = LevelStream(
+            positions=np.array([0], np.int32),
+            atoms=np.array([0], np.int32),
+            codes=np.array([cfg.amp_maxcode + 1], np.int32),
+            scale=np.float32(1.0), energy0=0.0, energy_res=0.0,
+        )
+        blob = pack_stream(cfg, 0, bad_code)
+        with pytest.raises(ValueError, match="corrupt stream"):
+            unpack_stream(cfg, blob, 0)
+
 
 def test_truncated_and_corrupt_containers_fail_cleanly(mld1):
     """Decoder hardening: truncations raise clean errors and random bit
