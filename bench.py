@@ -167,6 +167,39 @@ def main():
     log(f"tpu ordered decode: {best*1e3:.1f} ms for {DBO*B} blocks -> "
         f"{odec_mbps:.1f} MB/s")
 
+    # ---- hierarchical (2-level) pipelined encode — the namesake feature ----
+    from hsc_tpu.models import HierarchicalConvolutionalSparseCoder
+    from hsc_tpu.ops.pipeline import encode_hierarchical_batches_pipelined
+
+    hcfg = make_test_config(
+        counts=(32, 16), scales=(32, 96), block_size=8192,
+        num_coefs=(256, 128),
+    )
+    hmld = MultilevelDictionary.generate(hcfg, seed=9)
+    hgen = SignalGenerator(hmld, rates=2e-3)
+    HB = 16
+    hxs = hgen.generate_signals(HB, hcfg.block_size, seed=5)
+    hxb = jnp.asarray(hxs)[:, :, None]
+    hcoder = HierarchicalConvolutionalSparseCoder(hmld, backend="pallas")
+    HNB = 16
+    hbatches = [hxb] * HNB
+
+    def run_hier():
+        outs = encode_hierarchical_batches_pipelined(hbatches, hcoder)
+        return jax.device_get([e.count for e in outs[-1]])
+
+    t0 = time.perf_counter()
+    run_hier()
+    log(f"hier encode compile+run: {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_hier()
+        best = min(best, time.perf_counter() - t0)
+    hier_mbps = HNB * HB * hcfg.block_size * 4 / 1e6 / best
+    log(f"tpu hierarchical encode: {best*1e3:.1f} ms for {HNB*HB} 2-level "
+        f"blocks -> {hier_mbps:.1f} MB/s")
+
     # ---- dictionary learning: device-resident k-means refinement ----------
     from hsc_tpu.learn.kmeans import kmeans_refine_device
 
@@ -195,6 +228,7 @@ def main():
         "vs_baseline": round(tpu_mbps / oracle_mbps, 2),
         "decode_integer_mb_s": round(decode_mbps, 2),
         "decode_ordered_mb_s": round(odec_mbps, 2),
+        "encode_hier_mb_s": round(hier_mbps, 2),
         "learn_mwindows_s": round(learn_rate, 2),
     }))
 
