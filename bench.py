@@ -100,7 +100,7 @@ def main():
 
     # ---- order-free integer decode (format v2) on the MXU -----------------
     from hsc_tpu.oracle.mp import rep_quantize
-    from hsc_tpu.ops.decode import mp_decode_integer_batch_jax
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_batch
 
     rep_q, step = rep_quantize(bank, cfg.rep_bits)
     enc = encode_batches_pipelined(
@@ -121,10 +121,10 @@ def main():
     @jax.jit
     def _decode_checksum(*a):
         # device-side checksum: decode throughput without the relay's D2H
-        # transfer of the full waveform (irrelevant on a local TPU host)
-        return mp_decode_integer_batch_jax.__wrapped__(
-            *a, n=cfg.block_size
-        ).sum()
+        # transfer of the full waveform (irrelevant on a local TPU host).
+        # Routes through the product dispatcher, so on TPU this measures the
+        # fused Pallas integer-decode kernel.
+        return mp_decode_integer_batch(*a, n=cfg.block_size).sum()
 
     t0 = time.perf_counter()
     jax.device_get(_decode_checksum(*dec_args))
