@@ -249,9 +249,14 @@ def mp_decode_integer_batch(
     positions, atoms, codes, count, amp_step, rep_q, *, n: int
 ):
     """Dispatcher: fused Pallas kernel on TPU for single-channel reps,
-    XLA path otherwise — identical bytes either way."""
-    if jax.default_backend() in ("tpu", "axon") and pallas_integer_decode_ok(
-        rep_q, positions.shape[1], n
+    XLA path otherwise — identical bytes either way.
+    ``HSC_TPU_INTEGER_KERNEL=off`` forces the XLA path (escape hatch)."""
+    import os as _os
+
+    if (
+        _os.environ.get("HSC_TPU_INTEGER_KERNEL", "on") != "off"
+        and jax.default_backend() in ("tpu", "axon")
+        and pallas_integer_decode_ok(rep_q, positions.shape[1], n)
     ):
         return mp_decode_integer_pallas(
             positions, atoms, codes, count, amp_step, rep_q, n=n
