@@ -47,7 +47,10 @@ def run(ns):
     return encs
 
 out = {"mode": mode}
-for ns in (1, 8):
+ns_list = tuple(
+    int(s) for s in os.environ.get("HSC_TPU_AB_NS", "1,8").split(",")
+)
+for ns in ns_list:
     t0 = time.perf_counter()
     encs = run(ns)
     jax.device_get([e.count for e in encs])
