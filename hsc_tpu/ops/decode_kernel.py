@@ -111,11 +111,16 @@ def mp_decode_pallas(
     # 8 blocks interleaved per program: the per-block event chain is serial
     # by spec; independent chains overlap most of the latency (same pattern
     # as the encoder's group interleave).  The batch is padded to a multiple
-    # of 8 (padded rows have count == 0 and decode to discarded zeros) so
-    # the per-program SMEM blocks satisfy Mosaic's divisible-by-8 rule —
+    # of `group` (padded rows have count == 0 and decode to discarded zeros)
+    # so the per-program SMEM blocks satisfy Mosaic's divisible-by-8 rule —
     # blocking the event buffers per program is what keeps SMEM (~1 MiB)
-    # bounded for arbitrarily large batches.
-    group = 8
+    # bounded for arbitrarily large batches.  HSC_TPU_DECODE_GROUP tunes the
+    # interleave width (multiples of 8; the chain is latency-bound with tiny
+    # vector work, so wider groups may keep scaling where the encoder's
+    # heavyweight accepts stop at 2 — BASELINE "speed-of-light").
+    import os as _os
+
+    group = max(8, int(_os.environ.get("HSC_TPU_DECODE_GROUP", "8")) // 8 * 8)
     b8 = _round_up(b, group)
     if b8 != b:
         pad = ((0, b8 - b), (0, 0))
