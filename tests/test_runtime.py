@@ -125,6 +125,39 @@ def test_decode_stream_distributed_container(mld2):
         assert rows[b].tobytes() == full[b].tobytes()
 
 
+def test_decode_mixed_container(mld2):
+    """A container mixing top-only and distributed blocks (legal per
+    FORMAT.md — e.g. journals assembled across encoder configurations)
+    decodes via the chunked per-level path, and decode_stream yields the
+    same bytes in container order."""
+    from hsc_tpu.io.bitstream import pack_corpus
+    from hsc_tpu.oracle.mp import to_distributed
+
+    gen = SignalGenerator(mld2, rates=2e-2)
+    xs = gen.generate_signals(5, mld2.config.block_size, seed=91)
+    enc = CorpusEncoder(mld2, backend="jax", batch_size=2)
+    top = mld2.config.num_levels - 1
+    tops = [enc.coder.encode(x)[top] for x in xs]
+    blocks = []
+    for b, s in enumerate(tops):
+        if b % 2 == 0:
+            blocks.append([(top, s)])
+        else:
+            blocks.append(to_distributed(mld2.config, s))
+    blob = pack_corpus(mld2.config, blocks)
+    out = enc.decode(blob)
+    # expected: per-block sum of per-stream reconstructions, container order
+    for b, streams in enumerate(blocks):
+        exp = np.zeros(mld2.config.block_size, np.float32)
+        for lv, s in streams:
+            exp += enc.coder.reconstruct(s, level=lv)
+        assert out[b].tobytes() == exp.tobytes()
+    rows = list(enc.decode_stream(blob))
+    assert len(rows) == 5
+    for b in range(5):
+        assert rows[b].tobytes() == out[b].tobytes()
+
+
 def test_decode_stream_distributed_bounded_memory(mld2):
     """The distributed streaming path never materializes the corpus: at most
     batch_size blocks of output exist per yielded chunk, and at most 4
