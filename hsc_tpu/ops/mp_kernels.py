@@ -747,7 +747,7 @@ def _mp_pallas_stage(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e0 [B, 1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scale [B, 1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_scale [B, 1]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # scores stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # scores stay in HBM
             pl.BlockSpec((k8, k8, lag), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k8), lambda i: (0, 0), memory_space=pltpu.VMEM),
