@@ -135,6 +135,55 @@ def test_fuzz_integer_decode(seed):
     assert np.asarray(dev).tobytes() == oracle.tobytes(), cfg
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_integer_kernel(seed):
+    """Random configs through the FUSED integer-decode kernel (interpret
+    mode): bitwise vs oracle across rep_bits / amp_bits / geometry,
+    including wide windows and non-128 event capacities."""
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    rng = np.random.default_rng(4000 + seed)
+    k = int(rng.integers(3, 24))
+    w = int(rng.integers(130, 200)) if seed % 3 == 2 else int(rng.integers(6, 40))
+    block = int(rng.integers(w * 4, w * 30))
+    nc = int(rng.integers(4, 80))
+    amp_bits = int(rng.integers(6, 16))
+    rep_bits = int(rng.integers(2, 13))
+    cfg = CodecConfig(
+        counts=(k,), scales=(w,), num_coefs=(nc,), block_size=block,
+        amp_bits=amp_bits, decode_mode="integer", rep_bits=rep_bits,
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 400, max_correlation=0.98)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(1e-3, 2e-2)))
+    xs = gen.generate_signals(2, block, seed=seed)
+    coder = ConvolutionalSparseCoder(mld, backend="jax")
+    streams = [coder.encode(x) for x in xs]
+    rep_q, step = rep_quantize(mld.augmented(0), rep_bits)
+    cap = max(nc, 1) + int(rng.integers(0, 100))  # un-aligned capacities
+    pos = np.zeros((2, cap), np.int32)
+    atm = np.zeros((2, cap), np.int32)
+    cds = np.zeros((2, cap), np.int32)
+    cnt = np.zeros(2, np.int32)
+    amp = np.zeros(2, np.float32)
+    for b, s in enumerate(streams):
+        n = s.positions.shape[0]
+        pos[b, :n], atm[b, :n], cds[b, :n], cnt[b] = (
+            s.positions, s.atoms, s.codes, n,
+        )
+        amp[b] = np.float32(np.float32(s.scale) * np.float32(step))
+    out = np.asarray(
+        mp_decode_integer_pallas(
+            jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+            jnp.asarray(cnt), jnp.asarray(amp), jnp.asarray(rep_q),
+            n=block, interpret=True,
+        )
+    )
+    for b, s in enumerate(streams):
+        oracle = mp_decode_integer(s, rep_q, step, block)
+        assert out[b].tobytes() == oracle.tobytes(), cfg
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_distributed_containers(seed):
     """Random 2-level configs through the --distributed runtime: container
