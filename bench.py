@@ -177,7 +177,7 @@ def main():
     )
     hmld = MultilevelDictionary.generate(hcfg, seed=9)
     hgen = SignalGenerator(hmld, rates=2e-3)
-    HB = 16
+    HB = 64  # 2 MB/batch: steady-state rate, not dispatch latency
     hxs = hgen.generate_signals(HB, hcfg.block_size, seed=5)
     hxb = jnp.asarray(hxs)[:, :, None]
     hcoder = HierarchicalConvolutionalSparseCoder(hmld, backend="pallas")
