@@ -69,6 +69,9 @@ def parse_args():
                    help="reconstruction arithmetic written into the stream "
                    "header: 'ordered' (sequential float32) or 'integer' "
                    "(order-free mod-2^32; decodes on the MXU)")
+    p.add_argument("--mmap", action="store_true",
+                   help="encode: memory-map the input .npy (bounded memory "
+                   "for huge corpora; requires float32 whole-block data)")
     p.add_argument("--streaming", action="store_true",
                    help="decode: write blocks to the output .npy one at a "
                    "time (bounded memory for huge corpora; byte-identical "
@@ -157,7 +160,9 @@ def main():
     )
 
     if args.command == "encode":
-        x = _load_corpus_blocks(args.input, mld.config.block_size)
+        x = _load_corpus_blocks(
+            args.input, mld.config.block_size, mmap=args.mmap
+        )
         blob = codec.encode(x)
         with open(args.output, "wb") as f:
             f.write(blob)
@@ -194,13 +199,42 @@ def main():
             print(f"{args.output}: {out.shape} float32")
 
 
-def _load_corpus_blocks(path: str, block_size: int) -> np.ndarray:
+def _load_corpus_blocks(
+    path: str, block_size: int, mmap: bool = False
+) -> np.ndarray:
     """Load .npy/.wav input as ``[B, block_size]`` float32 blocks (1-D inputs
-    are zero-padded into whole blocks — same convention as encode)."""
+    are zero-padded into whole blocks — same convention as encode).
+
+    ``mmap=True`` memory-maps the .npy instead of loading it (bounded-memory
+    encode for huge corpora: the runtime copies one batch at a time to the
+    device and never materializes the input).  Requires a float32 .npy whose
+    length is already whole blocks — padding or dtype conversion would force
+    the full copy the flag exists to avoid."""
     if path.lower().endswith(".wav"):
         from hsc_tpu.signal import load_wav_blocks
 
         return load_wav_blocks(path, block_size)
+    if mmap:
+        x = np.load(path, mmap_mode="r")
+        if x.dtype != np.float32:
+            raise SystemExit(
+                f"--mmap requires a float32 .npy (got {x.dtype}); "
+                "convert once with numpy or drop --mmap"
+            )
+        if x.ndim == 1:
+            if x.shape[0] % block_size:
+                raise SystemExit(
+                    f"--mmap requires whole blocks ({block_size} samples); "
+                    f"input has {x.shape[0] % block_size} trailing samples — "
+                    "pad the file once or drop --mmap"
+                )
+            x = x.reshape(-1, block_size)
+        if x.shape[1] != block_size:
+            raise SystemExit(
+                f"corpus blocks are {x.shape[1]} samples; expected the codec "
+                f"block size {block_size}"
+            )
+        return x
     x = np.load(path).astype(np.float32)
     if x.ndim == 1:
         nb = -(-x.shape[0] // block_size)

@@ -108,6 +108,38 @@ def test_cli_streaming_decode_identical(cli_fixture):
     assert a.tobytes() == b.tobytes()
 
 
+def test_cli_mmap_encode_identical(cli_fixture):
+    """--mmap (memory-mapped bounded-memory encode) emits byte-identical
+    containers; non-float32 or ragged inputs fail with a clean message."""
+    d = cli_fixture
+    _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "m0.hsct"), "--backend", "jax", "--platform", "cpu",
+    ])
+    _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "m1.hsct"), "--backend", "jax", "--platform", "cpu",
+        "--mmap",
+    ])
+    assert (d / "m0.hsct").read_bytes() == (d / "m1.hsct").read_bytes()
+
+    np.save(d / "f64.npy", np.load(d / "sig.npy").astype(np.float64))
+    p = _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "f64.npy"),
+        "--output", str(d / "m2.hsct"), "--backend", "jax", "--platform", "cpu",
+        "--mmap",
+    ], check=False)
+    assert p.returncode != 0 and "float32" in p.stderr
+
+    np.save(d / "ragged.npy", np.load(d / "sig.npy")[:-7])
+    p = _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "ragged.npy"),
+        "--output", str(d / "m3.hsct"), "--backend", "jax", "--platform", "cpu",
+        "--mmap",
+    ], check=False)
+    assert p.returncode != 0 and "whole blocks" in p.stderr
+
+
 def test_cli_learn_then_roundtrip(cli_fixture):
     """`learn` produces a dictionary the encode/decode verbs accept end to
     end (the reference's training-driver surface as a CLI verb)."""
