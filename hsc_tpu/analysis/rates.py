@@ -133,7 +133,6 @@ def rate_distortion_curve(
     many budgets it covers.
     """
     from ..oracle.mp import mp_encode
-    from ..utils import snr_db as _snr
 
     cfg = mld.config
     bank = mld.augmented(0)

@@ -26,7 +26,6 @@ from ..dictionary import MultilevelDictionary
 from ..io import pack_corpus, unpack_corpus
 from ..ops.decode import (
     mp_decode_batch_jax,
-    mp_decode_integer_batch_jax,
     mp_decode_integer_jax,
     mp_decode_jax,
 )
