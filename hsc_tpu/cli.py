@@ -287,7 +287,7 @@ def _learn(args) -> None:
         tolerance_snr=args.tolerance_snr,
         **overrides,
     )
-    blocks = _load_corpus_blocks(args.input, cfg.block_size)
+    blocks = _load_corpus_blocks(args.input, cfg.block_size, mmap=args.mmap)
     trainer = MultilevelTrainer(
         cfg,
         algorithm=args.algorithm,
