@@ -76,6 +76,15 @@ def parse_args():
                    help="decode: write blocks to the output .npy one at a "
                    "time (bounded memory for huge corpora; byte-identical "
                    "output)")
+    p.add_argument("--index", action="store_true",
+                   help="encode: append the seek-index footer (O(1) random "
+                   "access for decode --range; backward compatible — "
+                   "footer-unaware decoders ignore it)")
+    p.add_argument("--range", dest="block_range", default=None,
+                   help="decode: only blocks A:B (python slice bounds, e.g. "
+                   "'100:164') — random access via the seek index when "
+                   "present, else one header scan; never unpacks the rest "
+                   "of the corpus")
     p.add_argument("--distributed", action="store_true",
                    help="emit the distributed representation (events stored "
                    "at the level where their atom is raw) instead of "
@@ -112,12 +121,15 @@ def main():
     if args.command == "info":
         with open(args.input, "rb") as f:
             blob = f.read()
+        from hsc_tpu.io import read_index
+
         cfg, blocks = unpack_corpus(blob)
         rates = corpus_rates(cfg, blocks)
         print(json.dumps({
             "config": json.loads(cfg.to_json()),
             "blocks": len(blocks),
             "file_bytes": len(blob),
+            "seek_index": read_index(blob) is not None,
             **{k: v for k, v in rates.items() if k != "per_level_payload_bits"},
             "per_level_payload_bits": {
                 str(k): v for k, v in rates["per_level_payload_bits"].items()
@@ -164,6 +176,10 @@ def main():
             args.input, mld.config.block_size, mmap=args.mmap
         )
         blob = codec.encode(x)
+        if args.index:
+            from hsc_tpu.io import append_index
+
+            blob = append_index(blob)
         with open(args.output, "wb") as f:
             f.write(blob)
         ratio = x.size * 4 / len(blob)
@@ -171,6 +187,16 @@ def main():
     else:  # decode
         with open(args.input, "rb") as f:
             blob = f.read()
+        if args.block_range is not None:
+            try:
+                a_s, b_s = args.block_range.split(":")
+                a, b = int(a_s), int(b_s)
+            except ValueError:
+                raise SystemExit("--range must be 'A:B' (block indices)")
+            out = codec.decode_blocks(blob, range(a, b))
+            np.save(args.output, out)
+            print(f"{args.output}: {out.shape} float32 (blocks {a}:{b})")
+            return
         if args.streaming:
             if not args.output.lower().endswith(".npy"):
                 raise SystemExit("--streaming requires a .npy --output")

@@ -1,17 +1,25 @@
 from .bitstream import (
+    append_index,
     pack_stream,
-    unpack_stream,
-    pack_corpus,
     peek_corpus_header,
-    unpack_corpus,
+    pack_corpus,
+    read_index,
+    scan_block_offsets,
     stream_num_bytes,
+    unpack_block,
+    unpack_corpus,
+    unpack_stream,
 )
 
 __all__ = [
+    "append_index",
     "pack_stream",
     "unpack_stream",
     "pack_corpus",
     "peek_corpus_header",
-    "unpack_corpus",
+    "read_index",
+    "scan_block_offsets",
     "stream_num_bytes",
+    "unpack_block",
+    "unpack_corpus",
 ]

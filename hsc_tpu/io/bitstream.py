@@ -370,7 +370,8 @@ def peek_corpus_header(data: bytes) -> tuple[CodecConfig, int]:
     return cfg, n_blocks
 
 
-def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelStream]]]]:
+def _parse_corpus_header(data: bytes) -> tuple[CodecConfig, int, int]:
+    """Shared header parse: returns (config, n_blocks, offset of block 0)."""
     if data[:4] != MAGIC:
         raise ValueError("bad magic")
     version, cfg_len = struct.unpack_from("<BI", data, 4)
@@ -380,7 +381,11 @@ def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelS
     cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())
     off += cfg_len
     (n_blocks,) = struct.unpack_from("<I", data, off)
-    off += 4
+    return cfg, n_blocks, off + 4
+
+
+def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelStream]]]]:
+    cfg, n_blocks, off = _parse_corpus_header(data)
     if n_blocks > len(data) - off:  # every block costs >= 1 byte (n_streams)
         raise ValueError(
             f"corpus claims {n_blocks} blocks but only "
@@ -388,11 +393,116 @@ def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelS
         )
     blocks = []
     for _ in range(n_blocks):
-        (n_streams,) = struct.unpack_from("<B", data, off)
-        off += 1
-        streams = []
-        for _ in range(n_streams):
-            level, stream, off = unpack_stream(cfg, data, off)
-            streams.append((level, stream))
+        streams, off = unpack_block(cfg, data, off)
         blocks.append(streams)
     return cfg, blocks
+
+
+def unpack_block(
+    cfg: CodecConfig, data: bytes, off: int
+) -> tuple[list[tuple[int, LevelStream]], int]:
+    """Unpack ONE block record at byte offset `off` (the u8 n_streams byte):
+    returns (streams, new_offset).  With a block offset (`scan_block_offsets`
+    or the seek-index footer) this is the random-access decode entry — no
+    preceding block is touched."""
+    (n_streams,) = struct.unpack_from("<B", data, off)
+    off += 1
+    streams = []
+    for _ in range(n_streams):
+        level, stream, off = unpack_stream(cfg, data, off)
+        streams.append((level, stream))
+    return streams, off
+
+
+def scan_block_offsets(data: bytes) -> tuple[CodecConfig, np.ndarray]:
+    """Walk the container once and return (config, offsets) where
+    ``offsets[b]`` is the byte offset of block b's record and ``offsets[-1]``
+    is the end of the block region (= start of any trailing footer).
+
+    'fixed' streams are skipped from their headers alone (payload size is a
+    pure function of the event count — no event decoding); 'rice' payloads
+    are variable-length with no recorded byte size, so skipping one costs a
+    decode pass (native-coder fast, ~50 µs/1000 events).  Corpora that need
+    many random accesses should carry the O(1) seek-index footer
+    (`append_index`) instead of re-scanning."""
+    cfg, n_blocks, off = _parse_corpus_header(data)
+    offsets = np.empty(n_blocks + 1, np.int64)
+    fixed = cfg.entropy != "rice"
+    for b in range(n_blocks):
+        offsets[b] = off
+        (n_streams,) = struct.unpack_from("<B", data, off)
+        off += 1
+        for _ in range(n_streams):
+            if fixed:
+                level, n, _scale = struct.unpack_from("<BIf", data, off)
+                if level >= cfg.num_levels:
+                    raise ValueError(f"stream level {level} out of range")
+                off += stream_num_bytes(cfg, level, n)
+                if off > len(data):
+                    raise ValueError("stream overruns the container")
+            else:
+                _level, _stream, off = unpack_stream(cfg, data, off)
+    offsets[n_blocks] = off
+    return cfg, offsets
+
+
+# -- seek-index footer (optional, backward compatible) -----------------------
+#
+#   footer := "HSCI" | u32 n_blocks | u64 offsets[n_blocks + 1] | u32 crc32
+#             | u32 footer_len | "HSCI"
+#
+# Appended AFTER the block region.  `unpack_corpus` reads exactly n_blocks
+# records and ignores trailing bytes, so indexed containers decode everywhere
+# a plain container does; readers that know the footer get O(1) block seeks
+# (`read_index`), others fall back to `scan_block_offsets`.  The trailing
+# (footer_len, magic) pair makes the footer discoverable from the file tail
+# without knowing n_blocks; crc32 covers the offsets so a torn/corrupt footer
+# degrades to a scan instead of mis-seeking.
+
+INDEX_MAGIC = b"HSCI"
+_INDEX_TAIL = struct.calcsize("<I") + 4  # footer_len + trailing magic
+
+
+def append_index(blob: bytes) -> bytes:
+    """Return `blob` with the seek-index footer appended (idempotent: an
+    already-indexed container is returned unchanged)."""
+    if read_index(blob) is not None:
+        return blob
+    _cfg, offsets = scan_block_offsets(blob)
+    payload = struct.pack("<I", len(offsets) - 1) + offsets.astype(
+        "<u8"
+    ).tobytes()
+    crc = _crc32(payload)
+    footer = INDEX_MAGIC + payload + struct.pack("<I", crc)
+    footer += struct.pack("<I", len(footer) + _INDEX_TAIL) + INDEX_MAGIC
+    return blob + footer
+
+
+def read_index(data: bytes) -> np.ndarray | None:
+    """Parse the seek-index footer: block offsets ``[n_blocks + 1]`` i64, or
+    None when the container carries no (intact) footer."""
+    if len(data) < _INDEX_TAIL or bytes(data[-4:]) != INDEX_MAGIC:
+        return None
+    (footer_len,) = struct.unpack_from("<I", data, len(data) - _INDEX_TAIL)
+    start = len(data) - footer_len
+    if footer_len < _INDEX_TAIL + 12 or start < 0:
+        return None
+    if bytes(data[start : start + 4]) != INDEX_MAGIC:
+        return None
+    payload = data[start + 4 : len(data) - _INDEX_TAIL - 4]
+    (crc,) = struct.unpack_from(
+        "<I", data, len(data) - _INDEX_TAIL - 4
+    )
+    if _crc32(payload) != crc:
+        return None
+    (n_blocks,) = struct.unpack_from("<I", payload, 0)
+    if len(payload) != 4 + 8 * (n_blocks + 1):
+        return None
+    offsets = np.frombuffer(payload, dtype="<u8", offset=4).astype(np.int64)
+    return offsets
+
+
+def _crc32(payload: bytes) -> int:
+    import zlib
+
+    return zlib.crc32(bytes(payload)) & 0xFFFFFFFF

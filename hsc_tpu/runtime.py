@@ -16,7 +16,15 @@ import numpy as np
 
 from .config import CodecConfig
 from .dictionary import MultilevelDictionary
-from .io.bitstream import MAGIC, VERSION, pack_stream, unpack_corpus
+from .io.bitstream import (
+    MAGIC,
+    VERSION,
+    pack_stream,
+    read_index,
+    scan_block_offsets,
+    unpack_block,
+    unpack_corpus,
+)
 from .io.journal import EncodeJournal
 from .models.coder import HierarchicalConvolutionalSparseCoder
 from .utils.metrics import MetricsLogger
@@ -530,6 +538,38 @@ class CorpusEncoder:
         for chunk in self._decode_chunks(cfg, blocks, mode, rep_bits):
             for row in chunk:
                 yield row
+
+    def decode_blocks(self, blob: bytes, indices) -> np.ndarray:
+        """Random-access decode: reconstruct ONLY the requested blocks,
+        returned as ``[len(indices), block_size]`` in the order given.  Rows
+        are byte-identical to the matching rows of `decode` (per-block
+        reconstruction is independent of batch grouping).
+
+        Seeks via the optional index footer (`io.append_index`, O(1)) when
+        the container carries one; otherwise one header walk
+        (`io.scan_block_offsets` — O(corpus headers), no event decoding for
+        'fixed' entropy).  Only the selected blocks' payloads are unpacked,
+        so serving a few blocks of a huge corpus never materializes it."""
+        from .io.bitstream import _parse_corpus_header
+
+        cfg, n_blocks, _ = _parse_corpus_header(blob)
+        self._check_geometry(cfg)
+        indices = [int(i) for i in indices]
+        for i in indices:
+            if not 0 <= i < n_blocks:
+                raise IndexError(f"block {i} out of range [0, {n_blocks})")
+        offsets = read_index(blob)
+        if offsets is None:
+            _, offsets = scan_block_offsets(blob)
+        elif offsets.shape[0] != n_blocks + 1:
+            raise ValueError("seek index does not match the container")
+        blocks = [unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices]
+        parts = list(
+            self._decode_chunks(cfg, blocks, cfg.decode_mode, cfg.rep_bits)
+        )
+        if not parts:
+            return np.zeros((0, cfg.block_size), dtype=np.float32)
+        return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     def decode(self, blob: bytes) -> np.ndarray:
         cfg, blocks = unpack_corpus(blob)

@@ -196,3 +196,36 @@ def test_cli_learn_then_roundtrip(cli_fixture):
     )
     assert noargs.returncode != 0
     assert "--counts" in (noargs.stderr + noargs.stdout)
+
+
+def test_cli_indexed_encode_and_range_decode(cli_fixture):
+    """encode --index appends the seek footer (reported by info); decode
+    --range serves the selected rows byte-identical to the full decode."""
+    d = cli_fixture
+    _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "si.hsct"), "--backend", "jax", "--platform",
+        "cpu", "--index",
+    ])
+    out = _run(["info", "--input", str(d / "si.hsct")])
+    assert json.loads(out.stdout)["seek_index"] is True
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "rall.npy"), "--backend", "jax", "--platform",
+        "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "r12.npy"), "--backend", "jax", "--platform",
+        "cpu", "--range", "1:3",
+    ])
+    rall = np.load(d / "rall.npy")
+    r12 = np.load(d / "r12.npy")
+    assert r12.shape[0] == 2
+    assert r12.tobytes() == rall[1:3].tobytes()
+    # malformed range is a clean SystemExit, not a stack trace
+    bad = _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "x.npy"), "--platform", "cpu", "--range", "oops",
+    ], check=False)
+    assert bad.returncode != 0 and "A:B" in bad.stderr

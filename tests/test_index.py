@@ -1,0 +1,110 @@
+"""Random-access container surface: block-offset scan, seek-index footer,
+and `CorpusEncoder.decode_blocks` (serving feature — net-new vs the
+reference, which has no bitstream at all: SURVEY.md §1 note)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hsc_tpu import MultilevelDictionary, SignalGenerator
+from hsc_tpu.io import (
+    append_index,
+    read_index,
+    scan_block_offsets,
+    unpack_block,
+    unpack_corpus,
+)
+from hsc_tpu.runtime import CorpusEncoder
+
+
+def _blob(mld, n_blocks=6, seed=5, **enc_kwargs):
+    gen = SignalGenerator(mld, rates=4e-3)
+    xs = gen.generate_signals(n_blocks, mld.config.block_size, seed=seed)
+    enc = CorpusEncoder(mld, backend="jax", batch_size=2, **enc_kwargs)
+    return enc, xs, enc.encode(xs)
+
+
+@pytest.mark.parametrize("entropy", ["fixed", "rice"])
+def test_scan_offsets_match_sequential_unpack(mld1, entropy):
+    cfg_e = dataclasses.replace(mld1.config, entropy=entropy)
+    mld = MultilevelDictionary(cfg_e, mld1.dicts)
+    _, _, blob = _blob(mld)
+    cfg, offsets = scan_block_offsets(blob)
+    _, blocks = unpack_corpus(blob)
+    assert offsets.shape[0] == len(blocks) + 1
+    assert offsets[-1] == len(blob)  # no footer: block region is the file
+    for b in range(len(blocks)):
+        streams, end = unpack_block(cfg, blob, int(offsets[b]))
+        assert end == offsets[b + 1]
+        assert len(streams) == len(blocks[b])
+        for (lv, s), (lv0, s0) in zip(streams, blocks[b]):
+            assert lv == lv0
+            assert s.positions.tobytes() == s0.positions.tobytes()
+            assert s.atoms.tobytes() == s0.atoms.tobytes()
+            assert s.codes.tobytes() == s0.codes.tobytes()
+            assert s.scale == s0.scale
+
+
+def test_index_footer_roundtrip_and_backward_compat(mld1):
+    enc, _, blob = _blob(mld1)
+    assert read_index(blob) is None
+    indexed = append_index(blob)
+    assert indexed[: len(blob)] == blob  # purely additive
+    offsets = read_index(indexed)
+    assert offsets is not None
+    _, scanned = scan_block_offsets(blob)
+    assert np.array_equal(offsets, scanned)
+    # idempotent
+    assert append_index(indexed) == indexed
+    # footer-unaware full decode ignores the trailing bytes
+    assert enc.decode(indexed).tobytes() == enc.decode(blob).tobytes()
+
+
+def test_corrupt_footer_degrades_to_scan(mld1):
+    enc, _, blob = _blob(mld1)
+    indexed = bytearray(append_index(blob))
+    indexed[-10] ^= 0xFF  # flip a byte inside the offsets payload
+    assert read_index(bytes(indexed)) is None  # crc rejects
+    # decode_blocks falls back to the header scan and still serves rows
+    full = enc.decode(blob)
+    out = enc.decode_blocks(bytes(indexed), [2, 0])
+    assert out[0].tobytes() == full[2].tobytes()
+    assert out[1].tobytes() == full[0].tobytes()
+
+
+@pytest.mark.parametrize("entropy", ["fixed", "rice"])
+@pytest.mark.parametrize("decode_mode", ["ordered", "integer"])
+def test_decode_blocks_matches_full_decode(mld1, entropy, decode_mode):
+    cfg_e = dataclasses.replace(
+        mld1.config, entropy=entropy, decode_mode=decode_mode
+    )
+    mld = MultilevelDictionary(cfg_e, mld1.dicts)
+    enc, _, blob = _blob(mld, n_blocks=7)
+    full = enc.decode(blob)
+    for blob_v in (blob, append_index(blob)):
+        out = enc.decode_blocks(blob_v, [5, 1, 6])
+        assert out.shape == (3, mld.config.block_size)
+        for row, b in zip(out, [5, 1, 6]):
+            assert row.tobytes() == full[b].tobytes()
+
+
+def test_decode_blocks_distributed_container(mld2):
+    gen = SignalGenerator(mld2, rates=2e-2)
+    xs = gen.generate_signals(5, mld2.config.block_size, seed=79)
+    enc = CorpusEncoder(mld2, backend="jax", batch_size=2, distributed=True)
+    blob = append_index(enc.encode(xs))
+    full = enc.decode(blob)
+    out = enc.decode_blocks(blob, [4, 0, 2])
+    for row, b in zip(out, [4, 0, 2]):
+        assert row.tobytes() == full[b].tobytes()
+
+
+def test_decode_blocks_bounds_and_empty(mld1):
+    enc, _, blob = _blob(mld1, n_blocks=3)
+    with pytest.raises(IndexError):
+        enc.decode_blocks(blob, [3])
+    with pytest.raises(IndexError):
+        enc.decode_blocks(blob, [-1])
+    out = enc.decode_blocks(blob, [])
+    assert out.shape == (0, mld1.config.block_size)
