@@ -27,6 +27,8 @@ mode = (
     os.environ["HSC_TPU_KERNEL_ACCEPT"]
     + ":" + os.environ.get("HSC_TPU_KERNEL_SWEEP", "batched")
 )
+if os.environ.get("HSC_TPU_KERNEL_GROUP_CAP"):
+    mode += ":g" + os.environ["HSC_TPU_KERNEL_GROUP_CAP"]
 cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
 mld = MultilevelDictionary.generate(cfg, seed=7)
 gen = SignalGenerator(mld, rates=2e-3)
@@ -80,17 +82,27 @@ def main():
     ap.add_argument(
         "--modes",
         default="legacy,extract,update,mxu",
-        help="comma list of ACCEPT[:SWEEP] modes, e.g. extract:batched",
+        help="comma list of ACCEPT[:SWEEP[:gN]] modes, e.g. extract:batched"
+        " or extract:batched:g4 (gN = interleave-group cap N, raising the"
+        " VMEM budget as needed)",
     )
     args = ap.parse_args()
     results = []
     for mode in args.modes.split(","):
-        accept, _, sweep = mode.partition(":")
+        parts = mode.split(":")
+        accept = parts[0]
+        sweep = parts[1] if len(parts) > 1 and parts[1] else "batched"
         env = dict(
             os.environ,
             HSC_TPU_KERNEL_ACCEPT=accept,
-            HSC_TPU_KERNEL_SWEEP=sweep or "batched",
+            HSC_TPU_KERNEL_SWEEP=sweep,
         )
+        if len(parts) > 2 and parts[2].startswith("g"):
+            gcap = int(parts[2][1:])
+            env["HSC_TPU_KERNEL_GROUP_CAP"] = str(gcap)
+            if gcap > 2:
+                # the default 12 MiB budget caps the flagship at group=2
+                env.setdefault("HSC_TPU_KERNEL_VMEM_MB", "52")
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,
