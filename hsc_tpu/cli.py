@@ -193,6 +193,23 @@ def main():
                 a, b = int(a_s), int(b_s)
             except ValueError:
                 raise SystemExit("--range must be 'A:B' (block indices)")
+            if args.streaming:
+                if not args.output.lower().endswith(".npy"):
+                    raise SystemExit("--streaming requires a .npy --output")
+                from numpy.lib.format import open_memmap
+
+                mm = open_memmap(
+                    args.output, mode="w+", dtype=np.float32,
+                    shape=(max(b - a, 0), mld.config.block_size),
+                )
+                for i, row in enumerate(
+                    codec.decode_stream(blob, indices=range(a, b))
+                ):
+                    mm[i] = row
+                mm.flush()
+                print(f"{args.output}: {mm.shape} float32 "
+                      f"(blocks {a}:{b}, streamed)")
+                return
             out = codec.decode_blocks(blob, range(a, b))
             np.save(args.output, out)
             print(f"{args.output}: {out.shape} float32 (blocks {a}:{b})")

@@ -526,14 +526,37 @@ class CorpusEncoder:
                 yield outs.pop(next_yield)
                 next_yield += 1
 
-    def decode_stream(self, blob: bytes):
-        """Yield each decoded block ``[block_size]`` in container order —
-        the serving surface: bounded memory for arbitrarily large corpora
-        of ANY container shape (top-only, --distributed, mixed), device
-        chunks pipelined like `decode` (<= 4 in flight), rows byte-identical
-        to `decode`'s."""
-        cfg, blocks = unpack_corpus(blob)
-        self._check_geometry(cfg)
+    def decode_stream(self, blob: bytes, indices=None):
+        """Yield decoded blocks ``[block_size]`` — the serving surface:
+        bounded memory for arbitrarily large corpora of ANY container shape
+        (top-only, --distributed, mixed), device chunks pipelined like
+        `decode` (<= 4 in flight), rows byte-identical to `decode`'s.
+
+        `indices` (optional) streams only those blocks, in the order given
+        (seek-index footer when present, else one header scan — see
+        `decode_blocks`); only the selected payloads are ever unpacked."""
+        if indices is not None:
+            from .io.bitstream import _parse_corpus_header
+
+            cfg, n_blocks, _ = _parse_corpus_header(blob)
+            self._check_geometry(cfg)
+            indices = [int(i) for i in indices]
+            for i in indices:
+                if not 0 <= i < n_blocks:
+                    raise IndexError(
+                        f"block {i} out of range [0, {n_blocks})"
+                    )
+            offsets = read_index(blob)
+            if offsets is None:
+                _, offsets = scan_block_offsets(blob)
+            elif offsets.shape[0] != n_blocks + 1:
+                raise ValueError("seek index does not match the container")
+            blocks = [
+                unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices
+            ]
+        else:
+            cfg, blocks = unpack_corpus(blob)
+            self._check_geometry(cfg)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
         for chunk in self._decode_chunks(cfg, blocks, mode, rep_bits):
             for row in chunk:
@@ -550,26 +573,10 @@ class CorpusEncoder:
         (`io.scan_block_offsets` — O(corpus headers), no event decoding for
         'fixed' entropy).  Only the selected blocks' payloads are unpacked,
         so serving a few blocks of a huge corpus never materializes it."""
-        from .io.bitstream import _parse_corpus_header
-
-        cfg, n_blocks, _ = _parse_corpus_header(blob)
-        self._check_geometry(cfg)
-        indices = [int(i) for i in indices]
-        for i in indices:
-            if not 0 <= i < n_blocks:
-                raise IndexError(f"block {i} out of range [0, {n_blocks})")
-        offsets = read_index(blob)
-        if offsets is None:
-            _, offsets = scan_block_offsets(blob)
-        elif offsets.shape[0] != n_blocks + 1:
-            raise ValueError("seek index does not match the container")
-        blocks = [unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices]
-        parts = list(
-            self._decode_chunks(cfg, blocks, cfg.decode_mode, cfg.rep_bits)
-        )
-        if not parts:
-            return np.zeros((0, cfg.block_size), dtype=np.float32)
-        return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        rows = list(self.decode_stream(blob, indices=list(indices)))
+        if not rows:
+            return np.zeros((0, self.cfg.block_size), dtype=np.float32)
+        return np.stack(rows)
 
     def decode(self, blob: bytes) -> np.ndarray:
         cfg, blocks = unpack_corpus(blob)

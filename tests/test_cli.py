@@ -229,3 +229,28 @@ def test_cli_indexed_encode_and_range_decode(cli_fixture):
         "--output", str(d / "x.npy"), "--platform", "cpu", "--range", "oops",
     ], check=False)
     assert bad.returncode != 0 and "A:B" in bad.stderr
+
+
+def test_cli_streaming_range_decode(cli_fixture):
+    """--streaming composes with --range: memmapped output of just the
+    selected rows, byte-identical to the full decode's slice."""
+    d = cli_fixture
+    _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "si.hsct"), "--backend", "jax", "--platform",
+        "cpu", "--index",
+    ])
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "rall.npy"), "--backend", "jax", "--platform",
+        "cpu",
+    ])
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "rs02.npy"), "--backend", "jax", "--platform",
+        "cpu", "--range", "0:2", "--streaming",
+    ])
+    rall = np.load(d / "rall.npy")
+    rs = np.load(d / "rs02.npy")
+    assert rs.shape[0] == 2
+    assert rs.tobytes() == rall[0:2].tobytes()

@@ -108,3 +108,17 @@ def test_decode_blocks_bounds_and_empty(mld1):
         enc.decode_blocks(blob, [-1])
     out = enc.decode_blocks(blob, [])
     assert out.shape == (0, mld1.config.block_size)
+
+
+def test_decode_stream_indices(mld1):
+    """decode_stream(indices=...) yields the selected rows in order,
+    byte-identical to the full decode — with and without the footer."""
+    enc, _, blob = _blob(mld1, n_blocks=7)
+    full = enc.decode(blob)
+    for blob_v in (blob, append_index(blob)):
+        rows = list(enc.decode_stream(blob_v, indices=[6, 2, 3]))
+        assert len(rows) == 3
+        for row, b in zip(rows, [6, 2, 3]):
+            assert row.tobytes() == full[b].tobytes()
+    with pytest.raises(IndexError):
+        next(enc.decode_stream(blob, indices=[7]))
