@@ -115,6 +115,7 @@ def _mp_kernel(
     mxu_update: bool,
     sweep_batched: bool,
     uniform_w: bool,
+    narrow: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -201,21 +202,36 @@ def _mp_kernel(
         colmax[g, :, :l8] = jnp.concatenate(fold_rows, axis=0)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    lane_ids128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # spans the narrow update dispatches over (128 when the +-(W-1) window
+    # fits the chunk's first lane-tile, full CW otherwise)
+    spans = (128, cw) if narrow else (cw,)
+    lane_ids_by_span = {128: lane_ids128, cw: lane_ids}
     if mxu_update:
         # Lane-minus-row iota: `dmat == o` is the 0/1 placement matrix
         # P[i, j] = (j == o + i) used by the per-accept matmuls.
-        dmat = (
-            jax.lax.broadcasted_iota(jnp.int32, (lag, cw), 1)
-            - jax.lax.broadcasted_iota(jnp.int32, (lag, cw), 0)
-        )
+        dmat_by_span = {
+            s: (
+                jax.lax.broadcasted_iota(jnp.int32, (lag, s), 1)
+                - jax.lax.broadcasted_iota(jnp.int32, (lag, s), 0)
+            )
+            for s in spans
+        }
+        dmat = dmat_by_span[cw]
     if mxu_extract:
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     fold_rows_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 0)
     fold_cols_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 1)
     fold_pos_ids = fold_rows_ids * l8 + fold_cols_ids  # position of each cell
     big_pos = jnp.int32(npos_pad8 + 1)
-    rmw_rows = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 0)
-    rmw_lanes = jax.lax.broadcasted_iota(jnp.int32, (fold, cw), 1)
+    rmw_rows_by_span = {
+        s: jax.lax.broadcasted_iota(jnp.int32, (fold, s), 0) for s in spans
+    }
+    rmw_lanes_by_span = {
+        s: jax.lax.broadcasted_iota(jnp.int32, (fold, s), 1) for s in spans
+    }
+    rmw_rows = rmw_rows_by_span[cw]
+    rmw_lanes = rmw_lanes_by_span[cw]
     atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
     def cond(state):
@@ -233,7 +249,24 @@ def _mp_kernel(
         cs = t + lpad - (w - 1)
         a = pl.multiple_of((cs // 128) * 128, 128)
         o = cs - a
-        chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
+        if narrow:
+            # Read only the 128-lane tile containing the score column
+            # (lane o + w - 1 of the CW chunk) — the extraction needs one
+            # column, so the full-chunk read is pure issue waste.  The
+            # update re-reads what it touches (apply_window_update_narrow),
+            # which is bitwise-identical: nothing wrote between the two
+            # reads of one accept.
+            j = o + (w - 1)
+            tile = j // 128
+            a1 = pl.multiple_of(a + tile * 128, 128)
+            o1 = j - tile * 128
+            chunk = None
+            read = scores[g, :, pl.ds(a1, 128)]  # [K, 128]
+            olane, ids = o1, lane_ids128
+        else:
+            chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
+            read = chunk
+            olane, ids = o + (w - 1), lane_ids
         if mxu_extract:
             # One-hot x f32 matmul at HIGHEST precision is an EXACT
             # passthrough: 1.0 is exact in bf16, the f32 operand's 3-way
@@ -241,11 +274,9 @@ def _mp_kernel(
             # +lo reconstructs the original 24), and the remaining products
             # are exact zeros — so MXU extraction is bitwise the VPU
             # mask-and-sum it replaces, while costing no VPU issue slots.
-            emat = jnp.where(
-                lane_ids == o + (w - 1), jnp.float32(1), jnp.float32(0)
-            )
+            emat = jnp.where(ids == olane, jnp.float32(1), jnp.float32(0))
             col_row = jax.lax.dot_general(
-                emat, chunk, (((1,), (1,)), ((), ())),
+                emat, read, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # [1, K] — the score column at position t, lane layout
@@ -258,7 +289,7 @@ def _mp_kernel(
             s = jnp.sum(jnp.where(lane_k == f, col_row, jnp.float32(0)))
         else:
             col = jnp.sum(
-                jnp.where(lane_ids == o + (w - 1), chunk, jnp.float32(0)),
+                jnp.where(ids == olane, read, jnp.float32(0)),
                 axis=1,
                 keepdims=True,
             )  # [K, 1]
@@ -311,8 +342,33 @@ def _mp_kernel(
         """Gram-domain windowed update + colmax cache refresh for one accept
         at aligned chunk (a, o): ``chunk - c_hat * place(gram[f], o)`` stored
         back, then the folded selection cache rewritten from the new chunk.
-        `chunk` must be the CURRENT [K, CW] window contents."""
+        `chunk` must be the CURRENT [K, CW] window contents (None in narrow
+        mode, which re-reads per span)."""
         gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
+        if narrow:
+            # Span-narrow update (HSC_TPU_KERNEL_NARROW): when the +-(W-1)
+            # window fits the chunk's first 128-lane tile (o + lag <= 128 —
+            # ~(129-lag)/128 of uniformly-placed accepts), the RMW + cache
+            # refresh run on a [K, 128] slice instead of [K, CW], halving
+            # that accept's vector issue work at CW=256.  Bitwise-exact:
+            # lanes outside the narrow span are untouched (their stored
+            # scores AND their cached colmax are already correct), and max
+            # has no rounding, so refreshing a superset of changed lanes is
+            # idempotent.  Both spans re-read their chunk fresh — required
+            # in phase C (stale extraction chunks must not be written back)
+            # and a bitwise no-op in the serial path (nothing wrote between
+            # extraction and update of one accept).
+            fits = o + lag <= 128
+
+            @pl.when(fits)
+            def _():
+                _update_span(g, a, o, gram_row, c_hat, 128)
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                _update_span(g, a, o, gram_row, c_hat, cw)
+
+            return
         if mxu_update:
             # Scale first (the spec's first float32 rounding — IEEE VPU mul
             # on the narrow [K, lag] row), then place via the 0/1 matmul
@@ -347,9 +403,38 @@ def _mp_kernel(
             prod[g, :, :] = c_hat * u
             chunk_new = chunk - prod[g, :, :]
         scores[g, :, pl.ds(a, cw)] = chunk_new
-        # exact colmax refresh over the chunk; positions outside [0, npos)
-        # stay parked at -1
-        gpos = lane_ids + (a - lpad)
+        _refresh_span(g, a, chunk_new, cw)
+
+    def _update_span(g, a, o, gram_row, c_hat, span):
+        """One accept's RMW + cache refresh confined to `span` aligned lanes
+        at chunk offset a (requires o + lag <= span — guaranteed by the
+        dispatch above).  Same spec arithmetic as the wide body: either the
+        one-hot MXU placement (hard rounding point at the MXU boundary) or
+        roll + the VMEM firewall round-trip."""
+        chunk = scores[g, :, pl.ds(a, span)]
+        if mxu_update:
+            pmat = jnp.where(dmat_by_span[span] == o, jnp.float32(1), jnp.float32(0))
+            gsc = c_hat * gram_row
+            u = jax.lax.dot_general(
+                gsc, pmat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [K, span]
+            chunk_new = chunk - u
+        else:
+            u0 = jnp.concatenate(
+                [gram_row, jnp.zeros((k, span - lag), jnp.float32)], axis=1
+            )
+            u = pltpu.roll(u0, o, 1)  # no wrap: o + lag <= span
+            prod[g, :, :span] = c_hat * u
+            chunk_new = chunk - prod[g, :, :span]
+        scores[g, :, pl.ds(a, span)] = chunk_new
+        _refresh_span(g, a, chunk_new, span)
+
+    def _refresh_span(g, a, chunk_new, span):
+        """Exact folded-colmax refresh over `span` lanes at chunk offset a;
+        positions outside [0, npos) stay parked at -1."""
+        gpos = lane_ids_by_span[span] + (a - lpad)
         cm = jnp.where(
             jnp.logical_and(gpos >= 0, gpos < npos),
             jnp.max(_weighted(jnp.abs(chunk_new)), axis=0)[None, :],
@@ -382,15 +467,17 @@ def _mp_kernel(
             p0 = a - lpad
             r0 = jnp.floor_divide(p0, l8)
             c0 = pl.multiple_of(p0 - r0 * l8, 128)
-            cm8 = jnp.broadcast_to(cm, (fold, cw))
-            sub_a = colmax[g, :, pl.ds(c0, cw)]
-            colmax[g, :, pl.ds(c0, cw)] = jnp.where(rmw_rows == r0, cm8, sub_a)
-            shift_b = jnp.mod(c0 - l8, cw)
-            cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, cw))
-            d_b = c0 + cw - l8  # overlap width into the next row (<= 0: none)
-            sub_b = colmax[g, :, :cw]
-            colmax[g, :, :cw] = jnp.where(
-                jnp.logical_and(rmw_rows == r0 + 1, rmw_lanes < d_b), cm_b, sub_b
+            rows_s = rmw_rows_by_span[span]
+            lanes_s = rmw_lanes_by_span[span]
+            cm8 = jnp.broadcast_to(cm, (fold, span))
+            sub_a = colmax[g, :, pl.ds(c0, span)]
+            colmax[g, :, pl.ds(c0, span)] = jnp.where(rows_s == r0, cm8, sub_a)
+            shift_b = jnp.mod(c0 - l8, span)
+            cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, span))
+            d_b = c0 + span - l8  # overlap width into the next row (<= 0: none)
+            sub_b = colmax[g, :, :span]
+            colmax[g, :, :span] = jnp.where(
+                jnp.logical_and(rows_s == r0 + 1, lanes_s < d_b), cm_b, sub_b
             )
 
     def step_one(g, done, e_res, count):
@@ -540,7 +627,10 @@ def _mp_kernel(
 
             @pl.when(emit)
             def _(a=a, o=o, f=f, c_hat=c_hat):
-                apply_window_update(g, a, o, f, c_hat, scores[g, :, pl.ds(a, cw)])
+                apply_window_update(
+                    g, a, o, f, c_hat,
+                    None if narrow else scores[g, :, pl.ds(a, cw)],
+                )
 
         done = jnp.logical_or(done, jnp.logical_not(any_acc))
         done = jnp.logical_or(done, count >= num_coefs)
@@ -589,6 +679,7 @@ def mp_encode_pallas(
     interpret: bool = False,
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
+    narrow_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
@@ -606,7 +697,7 @@ def mp_encode_pallas(
         num_coefs=num_coefs, amp_bits=amp_bits, tolerance_snr=tolerance_snr,
         singleton_weight=singleton_weight, n_raw=n_raw,
         num_select=num_select, interpret=interpret, accept_mode=accept_mode,
-        sweep_mode=sweep_mode,
+        sweep_mode=sweep_mode, narrow_mode=narrow_mode,
     )
 
 
@@ -614,7 +705,7 @@ def mp_encode_pallas(
     jax.jit,
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
-        "num_select", "interpret", "accept_mode", "sweep_mode",
+        "num_select", "interpret", "accept_mode", "sweep_mode", "narrow_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -634,6 +725,7 @@ def _mp_pallas_stage(
     interpret: bool = False,
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
+    narrow_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -694,6 +786,20 @@ def _mp_pallas_stage(
     if sweep_mode is None:
         sweep_mode = _os.environ.get("HSC_TPU_KERNEL_SWEEP", "batched")
     sweep_batched = sweep_mode != "serial"
+    # HSC_TPU_KERNEL_NARROW=1: tile-narrow extraction reads + span-narrow
+    # updates (see apply_window_update's narrow branch).  Bitwise-identical
+    # streams; default off until measured on hardware.  Only meaningful when
+    # the chunk is wider than one lane-tile and the window can actually fit
+    # one (lag <= 128), and the fold-row blends must be in play (lpad <= l8
+    # — the tiny-geometry full-recompute path stays wide).
+    if narrow_mode is None:
+        narrow_mode = _os.environ.get("HSC_TPU_KERNEL_NARROW", "0")
+    narrow = (
+        narrow_mode not in ("0", "", "off")
+        and cw > 128
+        and lag <= 128
+        and lpad <= l8
+    )
     uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
     per_block = (
         k8 * p2 + fold * (l8 + cw) + (0 if mxu_update else k8 * cw)
@@ -731,7 +837,7 @@ def _mp_pallas_stage(
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
         num_select=num_select, mxu_extract=mxu_extract,
         mxu_update=mxu_update, sweep_batched=sweep_batched,
-        uniform_w=uniform_w,
+        uniform_w=uniform_w, narrow=narrow,
     )
     scratch_shapes = [
         pltpu.VMEM((group, k8, p2), jnp.float32),

@@ -29,6 +29,8 @@ mode = (
 )
 if os.environ.get("HSC_TPU_KERNEL_GROUP_CAP"):
     mode += ":g" + os.environ["HSC_TPU_KERNEL_GROUP_CAP"]
+if os.environ.get("HSC_TPU_KERNEL_NARROW", "0") not in ("0", "", "off"):
+    mode += ":n"
 cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
 mld = MultilevelDictionary.generate(cfg, seed=7)
 gen = SignalGenerator(mld, rates=2e-3)
@@ -82,9 +84,9 @@ def main():
     ap.add_argument(
         "--modes",
         default="legacy,extract,update,mxu",
-        help="comma list of ACCEPT[:SWEEP[:gN]] modes, e.g. extract:batched"
-        " or extract:batched:g4 (gN = interleave-group cap N, raising the"
-        " VMEM budget as needed)",
+        help="comma list of ACCEPT[:SWEEP[:FLAGS...]] modes — flags: gN"
+        " (interleave-group cap N, raising the VMEM budget as needed) and"
+        " n (span-narrow updates).  E.g. extract:batched:g4:n",
     )
     args = ap.parse_args()
     results = []
@@ -97,12 +99,15 @@ def main():
             HSC_TPU_KERNEL_ACCEPT=accept,
             HSC_TPU_KERNEL_SWEEP=sweep,
         )
-        if len(parts) > 2 and parts[2].startswith("g"):
-            gcap = int(parts[2][1:])
-            env["HSC_TPU_KERNEL_GROUP_CAP"] = str(gcap)
-            if gcap > 2:
-                # the default 12 MiB budget caps the flagship at group=2
-                env.setdefault("HSC_TPU_KERNEL_VMEM_MB", "52")
+        for flag in parts[2:]:
+            if flag.startswith("g"):
+                gcap = int(flag[1:])
+                env["HSC_TPU_KERNEL_GROUP_CAP"] = str(gcap)
+                if gcap > 2:
+                    # the default 12 MiB budget caps the flagship at group=2
+                    env.setdefault("HSC_TPU_KERNEL_VMEM_MB", "52")
+            elif flag == "n":
+                env["HSC_TPU_KERNEL_NARROW"] = "1"
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,

@@ -120,6 +120,25 @@ def main():
         ok &= streams_equal(pk8, ref8, b)
     check("pallas ns=8 sweep-batched accepts == pinned oracle", ok)
 
+    # ---- 2c. span-narrow accepts (HSC_TPU_KERNEL_NARROW) ------------------
+    t0 = time.time()
+    pk8n = jax.device_get(
+        mp_encode_pallas(
+            xb[:4], bank, gram_t, num_coefs=512, num_select=8,
+            narrow_mode="1",
+        )
+    )
+    print(f"pallas ns=8 narrow encode: {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+    ok = True
+    for b in range(4):
+        ref8 = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]), num_select=8,
+        )
+        ok &= streams_equal(pk8n, ref8, b)
+    check("pallas ns=8 span-narrow accepts == pinned oracle", ok)
+
     # ---- 3+4. hierarchical pipeline + corpus bytes + decode ---------------
     cfg2 = make_test_config(
         counts=(32, 16), scales=(32, 96), num_coefs=(256, 128), block_size=8192

@@ -38,12 +38,15 @@ def test_pallas_matches_jax_path(mld1):
 
 @pytest.mark.parametrize("mode", ["legacy", "extract", "update", "mxu"])
 @pytest.mark.parametrize("ns", [1, "sweep"])
-def test_pallas_accept_modes_bitwise(mld1, mode, ns):
+@pytest.mark.parametrize("narrow", ["0", "1"])
+def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
     """Every accept-path placement (VPU vs one-hot MXU extraction/update,
     HSC_TPU_KERNEL_ACCEPT) emits the identical stream — the one-hot matmuls
     are exact passthroughs, so mode selection is purely a performance knob.
     Covers plain greedy and multi-select sweeps, plus non-uniform selection
-    weights (singleton_weight path)."""
+    weights (singleton_weight path), with and without the span-narrow
+    update (HSC_TPU_KERNEL_NARROW — tile-narrow extraction reads and
+    128-lane updates whenever the window fits the chunk's first tile)."""
     gen = SignalGenerator(mld1, rates=4e-3)
     xs = gen.generate_signals(2, mld1.config.block_size, seed=93)
     bank = jnp.asarray(mld1.augmented(0))
@@ -63,7 +66,9 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns):
     ref = mp_encode_pallas(
         xb, bank, gt, accept_mode="legacy", sweep_mode="serial", **kw
     )
-    got = mp_encode_pallas(xb, bank, gt, accept_mode=mode, **kw)
+    got = mp_encode_pallas(
+        xb, bank, gt, accept_mode=mode, narrow_mode=narrow, **kw
+    )
     for fld in ("positions", "atoms", "codes", "count", "scale"):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
