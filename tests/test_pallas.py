@@ -327,3 +327,48 @@ def test_pallas_double_fold_sweep_matches_jax(mld1):
         np.testing.assert_array_equal(np.asarray(pk.positions[b]), np.asarray(ref.positions))
         np.testing.assert_array_equal(np.asarray(pk.atoms[b]), np.asarray(ref.atoms))
         np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pallas_narrow_fuzz(seed):
+    """Span-narrow accepts across random geometries (narrow vs wide kernel,
+    interpret): selections identical; codes within one quantizer step (the
+    usual interpret-mode FMA caveat — on hardware the parity script's
+    check 2c asserts bitwise streams)."""
+    from hsc_tpu import MultilevelDictionary, make_test_config
+    from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+    rng = np.random.default_rng(seed + 500)
+    k = int(rng.integers(3, 20))
+    w = int(rng.integers(6, 60))  # lag <= 119 keeps narrow eligible
+    block = int(rng.integers(w * 4, 1536))
+    nc = int(rng.integers(8, 48))
+    cfg = make_test_config(
+        counts=(k,), scales=(w,), num_coefs=(nc,), block_size=block
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 300)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 2e-2)))
+    xs = gen.generate_signals(2, block, seed=seed)
+    bank = jnp.asarray(mld.augmented(0))
+    gt = _gram_t(mld)
+    xb = jnp.asarray(xs)[:, :, None]
+    npos = cfg.num_positions(0)
+    ns = int(rng.choice(pallas_num_select_options(npos, w)))
+    kw = dict(num_coefs=nc, num_select=ns, interpret=True)
+    ref = mp_encode_pallas(
+        xb, bank, gt, sweep_mode="serial", narrow_mode="0", **kw
+    )
+    got = mp_encode_pallas(xb, bank, gt, narrow_mode="1", **kw)
+    msg = f"k={k} w={w} block={block} ns={ns}"
+    np.testing.assert_array_equal(
+        np.asarray(got.count), np.asarray(ref.count), err_msg=msg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.positions), np.asarray(ref.positions), err_msg=msg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.atoms), np.asarray(ref.atoms), err_msg=msg
+    )
+    np.testing.assert_array_less(
+        np.abs(np.asarray(got.codes) - np.asarray(ref.codes)), 2, err_msg=msg
+    )
