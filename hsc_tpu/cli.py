@@ -175,11 +175,7 @@ def main():
         x = _load_corpus_blocks(
             args.input, mld.config.block_size, mmap=args.mmap
         )
-        blob = codec.encode(x)
-        if args.index:
-            from hsc_tpu.io import append_index
-
-            blob = append_index(blob)
+        blob = codec.encode(x, index=args.index)
         with open(args.output, "wb") as f:
             f.write(blob)
         ratio = x.size * 4 / len(blob)
@@ -193,6 +189,12 @@ def main():
                 a, b = int(a_s), int(b_s)
             except ValueError:
                 raise SystemExit("--range must be 'A:B' (block indices)")
+            from hsc_tpu.io import peek_corpus_header
+
+            _cfg_r, n_blocks = peek_corpus_header(blob)
+            # python slice semantics, as advertised: negative bounds count
+            # from the end, out-of-range bounds clamp — never a traceback
+            indices = range(*slice(a, b).indices(n_blocks))
             if args.streaming:
                 if not args.output.lower().endswith(".npy"):
                     raise SystemExit("--streaming requires a .npy --output")
@@ -200,19 +202,26 @@ def main():
 
                 mm = open_memmap(
                     args.output, mode="w+", dtype=np.float32,
-                    shape=(max(b - a, 0), mld.config.block_size),
+                    shape=(len(indices), mld.config.block_size),
                 )
                 for i, row in enumerate(
-                    codec.decode_stream(blob, indices=range(a, b))
+                    codec.decode_stream(blob, indices=indices)
                 ):
                     mm[i] = row
                 mm.flush()
                 print(f"{args.output}: {mm.shape} float32 "
                       f"(blocks {a}:{b}, streamed)")
                 return
-            out = codec.decode_blocks(blob, range(a, b))
-            np.save(args.output, out)
-            print(f"{args.output}: {out.shape} float32 (blocks {a}:{b})")
+            out = codec.decode_blocks(blob, indices)
+            if args.output.lower().endswith(".wav"):
+                from hsc_tpu.signal import save_wav
+
+                save_wav(args.output, out, rate=args.wav_rate)
+                print(f"{args.output}: {out.size} samples @ {args.wav_rate} "
+                      f"Hz (blocks {a}:{b})")
+            else:
+                np.save(args.output, out)
+                print(f"{args.output}: {out.shape} float32 (blocks {a}:{b})")
             return
         if args.streaming:
             if not args.output.lower().endswith(".npy"):

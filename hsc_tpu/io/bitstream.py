@@ -340,18 +340,30 @@ def unpack_stream(cfg: CodecConfig, data: bytes, off: int) -> tuple[int, LevelSt
 
 
 def pack_corpus(
-    cfg: CodecConfig, blocks: list[list[tuple[int, LevelStream]]]
+    cfg: CodecConfig,
+    blocks: list[list[tuple[int, LevelStream]]],
+    index: bool = False,
 ) -> bytes:
     """Serialize a corpus: `blocks[b]` is a list of (level, stream) pairs —
     normally one top-level stream per block; distributed representations may
-    carry several levels."""
+    carry several levels.  `index=True` appends the seek-index footer using
+    the offsets the packer already knows (no re-scan — `append_index` on an
+    existing blob costs a header walk, which for 'rice' is a decode pass)."""
     cfg_json = cfg.to_json().encode()
     out = [MAGIC, struct.pack("<BI", VERSION, len(cfg_json)), cfg_json]
     out.append(struct.pack("<I", len(blocks)))
-    for streams in blocks:
-        out.append(struct.pack("<B", len(streams)))
+    off = sum(len(p) for p in out)
+    offsets = np.empty(len(blocks) + 1, np.int64)
+    for b, streams in enumerate(blocks):
+        offsets[b] = off
+        rec = [struct.pack("<B", len(streams))]
         for level, stream in streams:
-            out.append(pack_stream(cfg, level, stream))
+            rec.append(pack_stream(cfg, level, stream))
+        out.extend(rec)
+        off += sum(len(p) for p in rec)
+    offsets[len(blocks)] = off
+    if index:
+        out.append(_index_footer(offsets))
     return b"".join(out)
 
 
@@ -359,14 +371,7 @@ def peek_corpus_header(data: bytes) -> tuple[CodecConfig, int]:
     """Parse ONLY the container header: returns (config, n_blocks) without
     touching any stream payload — O(header) for arbitrarily large corpora
     (used to pre-size streaming decode outputs)."""
-    if data[:4] != MAGIC:
-        raise ValueError("bad magic")
-    version, cfg_len = struct.unpack_from("<BI", data, 4)
-    if version not in SUPPORTED_VERSIONS:
-        raise ValueError(f"unsupported version {version}")
-    off = 4 + struct.calcsize("<BI")
-    cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())
-    (n_blocks,) = struct.unpack_from("<I", data, off + cfg_len)
+    cfg, n_blocks, _ = _parse_corpus_header(data)
     return cfg, n_blocks
 
 
@@ -463,19 +468,25 @@ INDEX_MAGIC = b"HSCI"
 _INDEX_TAIL = struct.calcsize("<I") + 4  # footer_len + trailing magic
 
 
-def append_index(blob: bytes) -> bytes:
-    """Return `blob` with the seek-index footer appended (idempotent: an
-    already-indexed container is returned unchanged)."""
-    if read_index(blob) is not None:
-        return blob
-    _cfg, offsets = scan_block_offsets(blob)
+def _index_footer(offsets: np.ndarray) -> bytes:
     payload = struct.pack("<I", len(offsets) - 1) + offsets.astype(
         "<u8"
     ).tobytes()
     crc = _crc32(payload)
     footer = INDEX_MAGIC + payload + struct.pack("<I", crc)
-    footer += struct.pack("<I", len(footer) + _INDEX_TAIL) + INDEX_MAGIC
-    return blob + footer
+    return footer + struct.pack("<I", len(footer) + _INDEX_TAIL) + INDEX_MAGIC
+
+
+def append_index(blob: bytes) -> bytes:
+    """Return `blob` with the seek-index footer appended (idempotent: an
+    already-indexed container is returned unchanged).  Costs one header walk
+    of the blob ('rice' payloads decode to find their ends) — when packing
+    fresh, prefer `pack_corpus(..., index=True)`, which knows the offsets
+    for free."""
+    if read_index(blob) is not None:
+        return blob
+    _cfg, offsets = scan_block_offsets(blob)
+    return blob + _index_footer(offsets)
 
 
 def read_index(data: bytes) -> np.ndarray | None:

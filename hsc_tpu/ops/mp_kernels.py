@@ -472,13 +472,21 @@ def _mp_kernel(
             cm8 = jnp.broadcast_to(cm, (fold, span))
             sub_a = colmax[g, :, pl.ds(c0, span)]
             colmax[g, :, pl.ds(c0, span)] = jnp.where(rows_s == r0, cm8, sub_a)
-            shift_b = jnp.mod(c0 - l8, span)
-            cm_b = jnp.broadcast_to(pltpu.roll(cm, shift_b, 1), (fold, span))
-            d_b = c0 + span - l8  # overlap width into the next row (<= 0: none)
-            sub_b = colmax[g, :, :span]
-            colmax[g, :, :span] = jnp.where(
-                jnp.logical_and(rows_s == r0 + 1, lanes_s < d_b), cm_b, sub_b
-            )
+            if span > 128:
+                # row-boundary overlap blend — statically dead for span=128:
+                # a, lpad, l8 are 128-multiples, so c0 <= l8 - 128 and
+                # d_b = c0 + 128 - l8 <= 0 always
+                shift_b = jnp.mod(c0 - l8, span)
+                cm_b = jnp.broadcast_to(
+                    pltpu.roll(cm, shift_b, 1), (fold, span)
+                )
+                d_b = c0 + span - l8  # overlap into the next row (<= 0: none)
+                sub_b = colmax[g, :, :span]
+                colmax[g, :, :span] = jnp.where(
+                    jnp.logical_and(rows_s == r0 + 1, lanes_s < d_b),
+                    cm_b,
+                    sub_b,
+                )
 
     def step_one(g, done, e_res, count):
         """One plain greedy iteration for group member g."""

@@ -251,9 +251,11 @@ class CorpusEncoder:
             snrs += sn
         self._log_encode_metrics(len(todo), dt, events, total_bytes, snrs)
 
-    def encode(self, blocks: np.ndarray) -> bytes:
+    def encode(self, blocks: np.ndarray, index: bool = False) -> bytes:
         """Encode ``[B, block_size]`` into the container format; resumable —
-        journaled blocks are skipped on restart."""
+        journaled blocks are skipped on restart.  `index=True` appends the
+        seek-index footer (docs/FORMAT.md) using the offsets the assembly
+        already knows — no re-scan."""
         blocks = self._validate_blocks(blocks)
         nb = blocks.shape[0]
         done = self.journal.done_blocks if self.journal else set()
@@ -267,11 +269,18 @@ class CorpusEncoder:
         parts.append(struct.pack("<BI", VERSION, len(cfg_json)))
         parts.append(cfg_json)
         parts.append(struct.pack("<I", nb))
+        off = sum(len(p) for p in parts)
+        offsets = np.empty(nb + 1, np.int64)
         for b in range(nb):
-            if b in payloads:
-                parts.append(payloads[b])
-            else:
-                parts.append(self.journal.read(b))
+            offsets[b] = off
+            rec = payloads[b] if b in payloads else self.journal.read(b)
+            parts.append(rec)
+            off += len(rec)
+        offsets[nb] = off
+        if index:
+            from .io.bitstream import _index_footer
+
+            parts.append(_index_footer(offsets))
         return b"".join(parts)
 
     # -- multi-host orchestration (SURVEY.md §2.3 P9) -----------------------
@@ -536,9 +545,9 @@ class CorpusEncoder:
         (seek-index footer when present, else one header scan — see
         `decode_blocks`); only the selected payloads are ever unpacked."""
         if indices is not None:
-            from .io.bitstream import _parse_corpus_header
+            from .io.bitstream import peek_corpus_header
 
-            cfg, n_blocks, _ = _parse_corpus_header(blob)
+            cfg, n_blocks = peek_corpus_header(blob)
             self._check_geometry(cfg)
             indices = [int(i) for i in indices]
             for i in indices:
@@ -547,10 +556,11 @@ class CorpusEncoder:
                         f"block {i} out of range [0, {n_blocks})"
                     )
             offsets = read_index(blob)
-            if offsets is None:
+            if offsets is None or offsets.shape[0] != n_blocks + 1:
+                # missing footer, or a stale one (e.g. blocks appended and
+                # the header n_blocks bumped without re-indexing): degrade
+                # to the header scan, never to a wrong seek (FORMAT.md)
                 _, offsets = scan_block_offsets(blob)
-            elif offsets.shape[0] != n_blocks + 1:
-                raise ValueError("seek index does not match the container")
             blocks = [
                 unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices
             ]

@@ -100,7 +100,7 @@ def main():
             HSC_TPU_KERNEL_SWEEP=sweep,
         )
         for flag in parts[2:]:
-            if flag.startswith("g"):
+            if flag.startswith("g") and flag[1:].isdigit():
                 gcap = int(flag[1:])
                 env["HSC_TPU_KERNEL_GROUP_CAP"] = str(gcap)
                 if gcap > 2:
@@ -108,6 +108,9 @@ def main():
                     env.setdefault("HSC_TPU_KERNEL_VMEM_MB", "52")
             elif flag == "n":
                 env["HSC_TPU_KERNEL_NARROW"] = "1"
+            else:
+                sys.exit(f"unknown mode flag {flag!r} in {mode!r} "
+                         "(expected gN or n)")
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,

@@ -223,6 +223,15 @@ def test_cli_indexed_encode_and_range_decode(cli_fixture):
     r12 = np.load(d / "r12.npy")
     assert r12.shape[0] == 2
     assert r12.tobytes() == rall[1:3].tobytes()
+    # python slice semantics: out-of-range bounds clamp, negatives count
+    # from the end — never a traceback
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "rclamp.npy"), "--backend", "jax", "--platform",
+        "cpu", "--range", "-2:999",
+    ])
+    rclamp = np.load(d / "rclamp.npy")
+    assert rclamp.tobytes() == rall[-2:].tobytes()
     # malformed range is a clean SystemExit, not a stack trace
     bad = _run([
         "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),

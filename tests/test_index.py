@@ -63,14 +63,38 @@ def test_index_footer_roundtrip_and_backward_compat(mld1):
 
 def test_corrupt_footer_degrades_to_scan(mld1):
     enc, _, blob = _blob(mld1)
-    indexed = bytearray(append_index(blob))
-    indexed[-10] ^= 0xFF  # flip a byte inside the offsets payload
-    assert read_index(bytes(indexed)) is None  # crc rejects
-    # decode_blocks falls back to the header scan and still serves rows
     full = enc.decode(blob)
-    out = enc.decode_blocks(bytes(indexed), [2, 0])
-    assert out[0].tobytes() == full[2].tobytes()
-    assert out[1].tobytes() == full[0].tobytes()
+    # (a) corrupt an offsets byte: footer tail is crc32 | footer_len | magic
+    # (12 bytes), so -20 lands inside the u64 offsets array — the crc over
+    # the payload must reject it
+    bad_off = bytearray(append_index(blob))
+    bad_off[-20] ^= 0xFF
+    assert read_index(bytes(bad_off)) is None
+    # (b) corrupt the stored crc field itself
+    bad_crc = bytearray(append_index(blob))
+    bad_crc[-10] ^= 0xFF
+    assert read_index(bytes(bad_crc)) is None
+    for bad in (bad_off, bad_crc):
+        # decode_blocks falls back to the header scan and still serves rows
+        out = enc.decode_blocks(bytes(bad), [2, 0])
+        assert out[0].tobytes() == full[2].tobytes()
+        assert out[1].tobytes() == full[0].tobytes()
+
+
+def test_stale_footer_degrades_to_scan(mld1):
+    """A crc-valid footer whose n_blocks disagrees with the header (e.g.
+    blocks appended in place without re-indexing) must degrade to the scan,
+    never to a wrong seek or an error (FORMAT.md contract)."""
+    enc, _, blob = _blob(mld1, n_blocks=4)
+    _, _, blob6 = _blob(mld1, n_blocks=6)
+    # graft the 4-block container's (valid) footer onto the 6-block blob
+    footer = append_index(blob)[len(blob):]
+    stale = blob6 + footer
+    assert read_index(stale) is not None  # crc-valid but wrong shape
+    full = enc.decode(blob6)
+    out = enc.decode_blocks(stale, [5, 1])
+    assert out[0].tobytes() == full[5].tobytes()
+    assert out[1].tobytes() == full[1].tobytes()
 
 
 @pytest.mark.parametrize("entropy", ["fixed", "rice"])
@@ -122,3 +146,18 @@ def test_decode_stream_indices(mld1):
             assert row.tobytes() == full[b].tobytes()
     with pytest.raises(IndexError):
         next(enc.decode_stream(blob, indices=[7]))
+
+
+def test_pack_corpus_inline_index_matches_append(mld1):
+    """pack_corpus(index=True) and runtime encode(index=True) produce the
+    same bytes as packing plain + append_index (offsets known for free at
+    pack time — no rescan)."""
+    from hsc_tpu.io import pack_corpus
+
+    enc, xs, blob = _blob(mld1, n_blocks=4)
+    assert enc.encode(xs, index=True) == append_index(blob)
+    _, blocks = unpack_corpus(blob)
+    cfg, _ = scan_block_offsets(blob)
+    assert pack_corpus(cfg, blocks, index=True) == append_index(
+        pack_corpus(cfg, blocks)
+    )
