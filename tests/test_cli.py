@@ -228,7 +228,7 @@ def test_cli_indexed_encode_and_range_decode(cli_fixture):
     _run([
         "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
         "--output", str(d / "rclamp.npy"), "--backend", "jax", "--platform",
-        "cpu", "--range", "-2:999",
+        "cpu", "--range=-2:999",  # '=' form: argparse reads '-2…' as a flag
     ])
     rclamp = np.load(d / "rclamp.npy")
     assert rclamp.tobytes() == rall[-2:].tobytes()
