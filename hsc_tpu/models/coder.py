@@ -395,6 +395,19 @@ class HierarchicalConvolutionalSparseCoder:
         """`reconstruct_batch` without the host sync: returns the device
         array ``[B, block_size, C]`` so corpus decoders can overlap one
         chunk's device->host copy with the next chunk's compute."""
+        pos, atm, cds, cnt, scl, level, mode = self._decode_arrays(
+            streams, level, mode
+        )
+        return self._decode_device_call(
+            jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+            jnp.asarray(cnt), jnp.asarray(scl), level, mode, rep_bits,
+        )
+
+    def _decode_arrays(self, streams, level=None, mode=None):
+        """Pack a list of LevelStreams into fixed-shape decode arrays
+        ``(pos, atm, cds, cnt, scl)`` (NumPy, [B, cap]/[B]) plus the
+        resolved (level, mode) — the host half of `reconstruct_batch_device`,
+        shared with the mesh-sharded decoder (`parallel.dp`)."""
         cfg = self.cfg
         if level is None:
             level = cfg.num_levels - 1
@@ -419,20 +432,23 @@ class HierarchicalConvolutionalSparseCoder:
             p, a, c, n = _pad_stream(s, cap)
             pos[b], atm[b], cds[b], cnt[b] = p, a, c, n
             scl[b] = np.float32(s.scale)
+        return pos, atm, cds, cnt, scl, level, mode
+
+    def _decode_device_call(self, pos, atm, cds, cnt, scl, level, mode, rep_bits):
+        """Device decode from packed arrays -> ``[B, block_size, C]`` —
+        traceable (callable under shard_map for the mesh-sharded decoder;
+        per-block arithmetic is independent of batch grouping, so sharded
+        and local calls are byte-identical per block)."""
+        cfg = self.cfg
         if mode == "integer":
             from ..ops.decode_integer_kernel import mp_decode_integer_batch
 
             rep_q, step = self._rep_q(level, rep_bits or cfg.rep_bits)
-            amp_step = (scl * np.float32(step)).astype(np.float32)
+            amp_step = (scl * jnp.float32(step)).astype(jnp.float32)
             return mp_decode_integer_batch(
-                jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
-                jnp.asarray(cnt), jnp.asarray(amp_step), rep_q,
-                n=cfg.block_size,
+                pos, atm, cds, cnt, amp_step, rep_q, n=cfg.block_size
             )
-        args = (
-            jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
-            jnp.asarray(cnt), jnp.asarray(scl), self._rep_banks[level],
-        )
+        args = (pos, atm, cds, cnt, scl, self._rep_banks[level])
         # The fused ordered-decode kernel is single-channel only (the
         # signal-space reconstruction surface — rep banks are always C == 1;
         # docs/DESIGN.md "decode"); multichannel banks take the XLA scan.

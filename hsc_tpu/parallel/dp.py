@@ -269,3 +269,72 @@ class HierarchicalDataParallelEncoder:
             host = jax.device_get(enc)  # gathers shards in block order
             out.append(EncodedBlock(*(np.asarray(v)[:b] for v in host)))
         return out
+
+
+class DataParallelDecoder:
+    """Mesh-sharded batch reconstruction (the decode mirror of
+    `DataParallelEncoder` — SURVEY.md §2.3 P1): packed stream arrays are
+    sharded over the 'data' axis and every shard runs the local decode path
+    (fused Pallas kernels on TPU, XLA elsewhere) on its blocks under one
+    sharded jit.  Per-block reconstruction is independent of batch grouping,
+    so rows are byte-identical to the local decoder's.
+
+    The batch is padded to a multiple of the shard count with empty streams
+    (count == 0 decodes to zeros) and trimmed after the gather."""
+
+    def __init__(self, mesh: Mesh, coder, axis: str = "data"):
+        # coder: models.coder.HierarchicalConvolutionalSparseCoder
+        self.mesh = mesh
+        self.coder = coder
+        self.axis = axis
+        self._mat = NamedSharding(mesh, P(axis, None))
+        self._vec = NamedSharding(mesh, P(axis))
+        self._jits: dict = {}
+
+    @property
+    def num_shards(self) -> int:
+        return int(self.mesh.shape[self.axis])
+
+    def _call(self, level: int, mode: str, rep_bits):
+        key = (level, mode, rep_bits)
+        if key not in self._jits:
+            axis, mesh, coder = self.axis, self.mesh, self.coder
+
+            def local(pos, atm, cds, cnt, scl):
+                return coder._decode_device_call(
+                    pos, atm, cds, cnt, scl, level, mode, rep_bits
+                )
+
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axis, None),) * 3 + (P(axis), P(axis)),
+                out_specs=P(axis, None, None),
+                check_vma=False,
+            )
+            self._jits[key] = jax.jit(
+                fn,
+                in_shardings=(self._mat,) * 3 + (self._vec, self._vec),
+                out_shardings=NamedSharding(mesh, P(axis, None, None)),
+            )
+        return self._jits[key]
+
+    def decode_batch_device(self, streams, level=None, mode=None, rep_bits=None):
+        """Sharded `reconstruct_batch_device`: returns the device array
+        ``[B, block_size, C]`` (global, 'data'-sharded), rows byte-identical
+        to the local path's."""
+        pos, atm, cds, cnt, scl, level, mode = self.coder._decode_arrays(
+            streams, level, mode
+        )
+        b = pos.shape[0]
+        pad = (-b) % self.num_shards
+        if pad:
+            z = lambda a: np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+            )
+            pos, atm, cds, cnt, scl = map(z, (pos, atm, cds, cnt, scl))
+        out = self._call(level, mode, rep_bits)(
+            jnp.asarray(pos), jnp.asarray(atm), jnp.asarray(cds),
+            jnp.asarray(cnt), jnp.asarray(scl),
+        )
+        return out[:b]

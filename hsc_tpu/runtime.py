@@ -119,12 +119,17 @@ class CorpusEncoder:
         )
         self.metrics = MetricsLogger(metrics_path, process_index)
         self.dp = None
+        self.dp_dec = None
         if mesh is not None:
-            from .parallel.dp import HierarchicalDataParallelEncoder
+            from .parallel.dp import (
+                DataParallelDecoder,
+                HierarchicalDataParallelEncoder,
+            )
 
             self.dp = HierarchicalDataParallelEncoder(
                 mesh, self.coder, axis=mesh_axis
             )
+            self.dp_dec = DataParallelDecoder(mesh, self.coder, axis=mesh_axis)
 
     # -- encode -------------------------------------------------------------
 
@@ -426,6 +431,19 @@ class CorpusEncoder:
                     f"this dictionary ({getattr(self.cfg, field)})"
                 )
 
+    def _decode_device(self, streams, level, mode, rep_bits):
+        """One batched device reconstruction — mesh-sharded over 'data' when
+        the encoder was built with a mesh (parallel.dp.DataParallelDecoder),
+        local otherwise; rows byte-identical either way."""
+        dec = self.dp_dec
+        if dec is not None:
+            return dec.decode_batch_device(
+                streams, level=level, mode=mode, rep_bits=rep_bits
+            )
+        return self.coder.reconstruct_batch_device(
+            streams, level=level, mode=mode, rep_bits=rep_bits
+        )
+
     def _decode_chunks(self, cfg, blocks, mode, rep_bits):
         """Yield decoded ``[chunk, block_size]`` arrays in container order,
         never holding more than `batch_size` blocks of output plus <= 4
@@ -444,9 +462,8 @@ class CorpusEncoder:
             streams = [s[0][1] for s in blocks]
             pending: deque = deque()
             for i in range(0, len(streams), step):
-                dev = self.coder.reconstruct_batch_device(
-                    streams[i : i + step], level=top, mode=mode,
-                    rep_bits=rep_bits,
+                dev = self._decode_device(
+                    streams[i : i + step], top, mode, rep_bits
                 )
                 try:
                     dev.copy_to_host_async()
@@ -514,9 +531,8 @@ class CorpusEncoder:
             units_left[ci] = len(by_level)
             for level in sorted(by_level):
                 ids = [b for b, _ in by_level[level]]
-                dev = self.coder.reconstruct_batch_device(
-                    [s for _, s in by_level[level]],
-                    level=level, mode=mode, rep_bits=rep_bits,
+                dev = self._decode_device(
+                    [s for _, s in by_level[level]], level, mode, rep_bits
                 )
                 try:
                     dev.copy_to_host_async()
