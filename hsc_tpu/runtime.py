@@ -42,11 +42,14 @@ def assemble_container(
     n_blocks: int,
     n_processes: int,
     distributed: bool = False,
+    index: bool = False,
 ) -> bytes:
     """Process-0 container assembly from per-process journals (SURVEY.md
     §2.3 P9: each process journals its own shard under GLOBAL block ids;
     process 0 — with all journals visible on a shared filesystem — emits the
-    container in original block order regardless of completion order)."""
+    container in original block order regardless of completion order).
+    `index=True` appends the seek-index footer from the offsets the
+    assembly already knows."""
     journals = [
         EncodeJournal(
             journal_dir,
@@ -72,7 +75,18 @@ def assemble_container(
             cfg_json,
             struct.pack("<I", n_blocks),
         ]
-        parts.extend(owner[b].read(b) for b in range(n_blocks))
+        off = sum(len(p) for p in parts)
+        offsets = np.empty(n_blocks + 1, np.int64)
+        for b in range(n_blocks):
+            offsets[b] = off
+            rec = owner[b].read(b)
+            parts.append(rec)
+            off += len(rec)
+        offsets[n_blocks] = off
+        if index:
+            from .io.bitstream import _index_footer
+
+            parts.append(_index_footer(offsets))
         return b"".join(parts)
     finally:
         for j in journals:

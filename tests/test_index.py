@@ -161,3 +161,19 @@ def test_pack_corpus_inline_index_matches_append(mld1):
     assert pack_corpus(cfg, blocks, index=True) == append_index(
         pack_corpus(cfg, blocks)
     )
+
+
+def test_assemble_container_inline_index(tmp_path, mld1):
+    """assemble_container(index=True) == append_index(assemble_container())
+    — the multihost assembly path indexes from its own offsets."""
+    from hsc_tpu.runtime import assemble_container
+
+    enc, xs, _ = _blob(mld1, n_blocks=5)
+    enc_j = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, journal_dir=str(tmp_path)
+    )
+    enc_j.encode_shard(xs)
+    plain = assemble_container(mld1.config, str(tmp_path), 5, 1)
+    indexed = assemble_container(mld1.config, str(tmp_path), 5, 1, index=True)
+    assert indexed == append_index(plain)
+    assert read_index(indexed) is not None
