@@ -70,8 +70,11 @@ def parse_args():
                    "header: 'ordered' (sequential float32) or 'integer' "
                    "(order-free mod-2^32; decodes on the MXU)")
     p.add_argument("--mmap", action="store_true",
-                   help="encode: memory-map the input .npy (bounded memory "
-                   "for huge corpora; requires float32 whole-block data)")
+                   help="memory-map the input instead of loading it — "
+                   "encode: the .npy corpus (requires float32 whole-block "
+                   "data); decode: the .hsct container (bounded memory for "
+                   "huge corpora; pairs with --streaming/--range so only "
+                   "the touched payloads are ever read)")
     p.add_argument("--streaming", action="store_true",
                    help="decode: write blocks to the output .npy one at a "
                    "time (bounded memory for huge corpora; byte-identical "
@@ -181,8 +184,14 @@ def main():
         ratio = x.size * 4 / len(blob)
         print(f"{args.output}: {len(blob)} bytes ({ratio:.1f}x vs float32)")
     else:  # decode
-        with open(args.input, "rb") as f:
-            blob = f.read()
+        if args.mmap:
+            import mmap as _mmap
+
+            _f = open(args.input, "rb")
+            blob = _mmap.mmap(_f.fileno(), 0, access=_mmap.ACCESS_READ)
+        else:
+            with open(args.input, "rb") as f:
+                blob = f.read()
         if args.block_range is not None:
             try:
                 a_s, b_s = args.block_range.split(":")

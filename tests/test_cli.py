@@ -263,3 +263,17 @@ def test_cli_streaming_range_decode(cli_fixture):
     rs = np.load(d / "rs02.npy")
     assert rs.shape[0] == 2
     assert rs.tobytes() == rall[0:2].tobytes()
+
+
+def test_cli_mmap_decode_identical(cli_fixture):
+    """decode --mmap memory-maps the container; combined with --streaming
+    --range, only the touched payloads are read — bytes identical."""
+    d = cli_fixture
+    _run([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "si.hsct"),
+        "--output", str(d / "rmm.npy"), "--backend", "jax", "--platform",
+        "cpu", "--mmap", "--streaming", "--range", "0:2",
+    ])
+    rall = np.load(d / "rall.npy")
+    rmm = np.load(d / "rmm.npy")
+    assert rmm.tobytes() == rall[0:2].tobytes()
