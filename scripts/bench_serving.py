@@ -1,0 +1,100 @@
+"""Serving-surface benchmark: random-access decode latency + streaming rate.
+
+Measures, on a 2048-block flagship corpus (16k samples/block):
+  1. single-block random-access latency via `CorpusEncoder.decode_blocks`
+     on an indexed container (seek + unpack + device decode + fetch) —
+     median/p90 over N seeks;
+  2. `decode_stream` steady-state throughput (bounded memory, pipelined);
+  3. the same seek latency WITHOUT the footer (header-scan fallback cost).
+
+On the tunneled TPU the single-seek numbers are dominated by the relay's
+fixed ~28 ms dispatch+fetch round trip (BASELINE.md "the relay tax") — a
+local TPU host sees the device+host terms only.
+
+Usage: python scripts/bench_serving.py [--blocks 2048] [--seeks 32]
+       [--platform cpu|tpu] [--entropy rice|fixed]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=2048)
+    ap.add_argument("--seeks", type=int, default=32)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--entropy", default="rice", choices=["rice", "fixed"])
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
+    from hsc_tpu.io import read_index
+    from hsc_tpu.runtime import CorpusEncoder
+    from hsc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = make_test_config(
+        counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,),
+        entropy=args.entropy,
+    )
+    mld = MultilevelDictionary.generate(cfg, seed=7)
+    gen = SignalGenerator(mld, rates=2e-3)
+    nb = args.blocks
+    xs = gen.generate_signals(min(nb, 64), cfg.block_size, seed=3)
+    xs = np.tile(xs, (-(-nb // xs.shape[0]), 1))[:nb]
+    codec = CorpusEncoder(mld, batch_size=64)
+    t0 = time.time()
+    blob = codec.encode(xs, index=True)
+    print(f"encoded {nb} blocks in {time.time()-t0:.1f}s "
+          f"({len(blob)} bytes)", file=sys.stderr, flush=True)
+    offsets = read_index(blob)
+    assert offsets is not None
+    plain = blob[: int(offsets[-1])]  # strip the footer -> scan fallback
+
+    rng = np.random.default_rng(0)
+    targets = rng.integers(0, nb, args.seeks)
+
+    def seek_times(container):
+        ts = []
+        for b in targets:
+            t0 = time.perf_counter()
+            row = codec.decode_blocks(container, [int(b)])
+            _ = row.sum()  # host-side touch: the fetch already happened
+            ts.append(time.perf_counter() - t0)
+        return np.array(ts) * 1e3
+
+    _ = codec.decode_blocks(blob, [0])  # warm the compile
+    t_idx = seek_times(blob)
+    t_scan = seek_times(plain)
+
+    t0 = time.perf_counter()
+    n_rows = 0
+    for row in codec.decode_stream(blob):
+        n_rows += 1
+    dt = time.perf_counter() - t0
+    stream_mb_s = n_rows * cfg.block_size * 4 / 1e6 / dt
+
+    out = {
+        "blocks": nb,
+        "entropy": args.entropy,
+        "seek_ms_median": round(float(np.median(t_idx)), 2),
+        "seek_ms_p90": round(float(np.percentile(t_idx, 90)), 2),
+        "seek_scan_ms_median": round(float(np.median(t_scan)), 2),
+        "stream_mb_s": round(stream_mb_s, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
