@@ -177,3 +177,23 @@ def test_assemble_container_inline_index(tmp_path, mld1):
     indexed = assemble_container(mld1.config, str(tmp_path), 5, 1, index=True)
     assert indexed == append_index(plain)
     assert read_index(indexed) is not None
+
+
+def test_index_parser_robustness(mld1):
+    """Corrupt/hostile containers: the scan raises clean ValueErrors, the
+    footer reader returns None (never crashes, never allocates from
+    attacker-controlled sizes)."""
+    enc, _, blob = _blob(mld1, n_blocks=3)
+    # truncated mid-payload: scan must error, not overrun
+    with pytest.raises(ValueError):
+        scan_block_offsets(blob[: len(blob) - 5])
+    # absurd footer_len in the tail
+    fake = blob + b"\x00" * 8 + (1 << 30).to_bytes(4, "little") + b"HSCI"
+    assert read_index(fake) is None
+    # tail magic only / tiny files
+    assert read_index(b"HSCI") is None
+    assert read_index(b"") is None
+    assert read_index(blob + b"garbageHSCI") is None
+    # footer_len smaller than the fixed fields
+    tiny = blob + (4).to_bytes(4, "little") + b"HSCI"
+    assert read_index(tiny) is None
