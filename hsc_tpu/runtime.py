@@ -23,7 +23,6 @@ from .io.bitstream import (
     read_index,
     scan_block_offsets,
     unpack_block,
-    unpack_corpus,
 )
 from .io.journal import EncodeJournal
 from .models.coder import HierarchicalConvolutionalSparseCoder
@@ -459,73 +458,45 @@ class CorpusEncoder:
         )
 
     def _decode_chunks(self, cfg, blocks, mode, rep_bits):
-        """Yield decoded ``[chunk, block_size]`` arrays in container order,
-        never holding more than `batch_size` blocks of output plus <= 4
-        in-flight device chunks — the bounded-memory core shared by `decode`
-        and `decode_stream`, for EVERY container shape (top-only,
-        distributed, mixed).  Rows are byte-identical to per-block
-        `coder.reconstruct` sums in container order."""
+        """Yield decoded ``[chunk, block_size]`` arrays in container order —
+        the bounded-memory core shared by `decode` and `decode_stream`, for
+        EVERY container shape (top-only, distributed, mixed).  Rows are
+        byte-identical to per-block `coder.reconstruct` sums in container
+        order.
+
+        `blocks` may be a list OR a lazy iterator of per-block
+        ``[(level, stream)]`` lists (`_iter_block_records`): blocks are
+        consumed one chunk of `batch_size` at a time, so with a lazy source
+        (and an mmap'd container) peak memory is O(batch) — unpacked
+        events, decoded rows, and <= 4 in-flight device chunks — for
+        arbitrarily large corpora.  Each chunk independently takes the
+        fast path (one batched device call, the common one-top-stream
+        shape), the per-level host-summed path (distributed/mixed), or the
+        per-block host loop (exotic same-level-twice shapes); chunks of
+        different kinds pipeline through one ordered queue."""
         from collections import deque
+        from itertools import islice
 
         top = cfg.num_levels - 1
         step = max(self.batch_size, 1)
-        if all(len(s) == 1 and s[0][0] == top for s in blocks):
-            # common shape (one top-level stream per block): batched device
-            # decodes as a sliding pipeline — each chunk's device->host copy
-            # overlaps the next chunks' compute
-            streams = [s[0][1] for s in blocks]
-            pending: deque = deque()
-            for i in range(0, len(streams), step):
-                dev = self._decode_device(
-                    streams[i : i + step], top, mode, rep_bits
-                )
-                try:
-                    dev.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending.append(dev)
-                if len(pending) >= 4:
-                    yield np.asarray(pending.popleft())[:, :, 0]
-            while pending:
-                yield np.asarray(pending.popleft())[:, :, 0]
-            return
-
-        orderly = all(
-            [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})
-            for streams in blocks
-        )
-        if not orderly:
-            # exotic containers (several streams of one level per block):
-            # per-block host loop in stream order, chunked — bounded, not
-            # pipelined (nothing writes this shape today)
-            for i in range(0, len(blocks), step):
-                chunk = blocks[i : i + step]
-                out = np.zeros((len(chunk), cfg.block_size), np.float32)
-                for b, streams in enumerate(chunk):
-                    for level, stream in streams:
-                        out[b] += self.coder.reconstruct(
-                            stream, level=level, mode=mode, rep_bits=rep_bits
-                        )
-                yield out
-            return
-
-        # distributed containers (at most one stream per level per block,
-        # ascending): per chunk of `step` blocks, one batched device decode
-        # per level, host-summed per block in level order — bitwise the
-        # per-block loop, bounded by the chunk size (VERDICT r2 #5: this
-        # path used to materialize the whole corpus).  Device work units
-        # (chunk, level) pipeline <= 4 in flight across chunk boundaries.
-        pending = deque()  # (chunk_idx, ids, dev)
+        it = iter(blocks)
+        # pending: ("fast", ci, dev) | ("sum", ci, ids, dev)
+        pending: deque = deque()
         outs: dict[int, np.ndarray] = {}
         units_left: dict[int, int] = {}
         dispatched: set[int] = set()
         next_yield = 0
 
         def _drain_one():
-            ci, ids, dev = pending.popleft()
-            rec = np.asarray(dev)[:, :, 0]
-            for j, b in enumerate(ids):
-                outs[ci][b] += rec[j]
+            entry = pending.popleft()
+            if entry[0] == "fast":
+                _, ci, dev = entry
+                outs[ci] = np.asarray(dev)[:, :, 0]
+            else:
+                _, ci, ids, dev = entry
+                rec = np.asarray(dev)[:, :, 0]
+                for j, b in enumerate(ids):
+                    outs[ci][b] += rec[j]
             units_left[ci] -= 1
 
         def _ready():
@@ -534,28 +505,64 @@ class CorpusEncoder:
                 and units_left.get(next_yield, 0) == 0
             )
 
-        n_chunks = -(-len(blocks) // step)
-        for ci in range(n_chunks):
-            chunk = blocks[ci * step : (ci + 1) * step]
-            by_level: dict[int, list[tuple[int, object]]] = {}
-            for b, streams in enumerate(chunk):
-                for level, stream in streams:
-                    by_level.setdefault(level, []).append((b, stream))
-            outs[ci] = np.zeros((len(chunk), cfg.block_size), np.float32)
-            units_left[ci] = len(by_level)
-            for level in sorted(by_level):
-                ids = [b for b, _ in by_level[level]]
+        def _dispatch(dev):
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+
+        ci = 0
+        while True:
+            chunk = list(islice(it, step))
+            if not chunk:
+                break
+            if all(len(s) == 1 and s[0][0] == top for s in chunk):
+                # common shape: one batched device decode, no host sum
                 dev = self._decode_device(
-                    [s for _, s in by_level[level]], level, mode, rep_bits
+                    [s[0][1] for s in chunk], top, mode, rep_bits
                 )
-                try:
-                    dev.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending.append((ci, ids, dev))
+                _dispatch(dev)
+                units_left[ci] = 1
+                pending.append(("fast", ci, dev))
                 if len(pending) >= 4:
                     _drain_one()
+            elif all(
+                [lv for lv, _ in streams] == sorted({lv for lv, _ in streams})
+                for streams in chunk
+            ):
+                # distributed/mixed (at most one stream per level per
+                # block, ascending): one batched device decode per level,
+                # host-summed per block in level order — bitwise the
+                # per-block loop (VERDICT r2 #5)
+                by_level: dict[int, list[tuple[int, object]]] = {}
+                for b, streams in enumerate(chunk):
+                    for level, stream in streams:
+                        by_level.setdefault(level, []).append((b, stream))
+                outs[ci] = np.zeros((len(chunk), cfg.block_size), np.float32)
+                units_left[ci] = len(by_level)
+                for level in sorted(by_level):
+                    ids = [b for b, _ in by_level[level]]
+                    dev = self._decode_device(
+                        [s for _, s in by_level[level]], level, mode, rep_bits
+                    )
+                    _dispatch(dev)
+                    pending.append(("sum", ci, ids, dev))
+                    if len(pending) >= 4:
+                        _drain_one()
+            else:
+                # exotic (several streams of one level in one block):
+                # per-block host loop in stream order — bounded, not
+                # pipelined (nothing writes this shape today)
+                out = np.zeros((len(chunk), cfg.block_size), np.float32)
+                for b, streams in enumerate(chunk):
+                    for level, stream in streams:
+                        out[b] += self.coder.reconstruct(
+                            stream, level=level, mode=mode, rep_bits=rep_bits
+                        )
+                outs[ci] = out
+                units_left[ci] = 0
             dispatched.add(ci)
+            ci += 1
             while _ready():
                 yield outs.pop(next_yield)
                 next_yield += 1
@@ -564,6 +571,14 @@ class CorpusEncoder:
             while _ready():
                 yield outs.pop(next_yield)
                 next_yield += 1
+
+    def _iter_block_records(self, cfg, blob, n_blocks, off):
+        """Lazily unpack block records in container order (the streaming
+        counterpart of `unpack_corpus` — one block's events in memory at a
+        time as `_decode_chunks` consumes them)."""
+        for _ in range(n_blocks):
+            streams, off = unpack_block(cfg, blob, off)
+            yield streams
 
     def decode_stream(self, blob: bytes, indices=None):
         """Yield decoded blocks ``[block_size]`` — the serving surface:
@@ -591,12 +606,17 @@ class CorpusEncoder:
                 # the header n_blocks bumped without re-indexing): degrade
                 # to the header scan, never to a wrong seek (FORMAT.md)
                 _, offsets = scan_block_offsets(blob)
-            blocks = [
+            blocks = (
                 unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices
-            ]
+            )  # lazy: huge ranges unpack one chunk at a time
         else:
-            cfg, blocks = unpack_corpus(blob)
+            from .io.bitstream import _parse_corpus_header
+
+            cfg, n_blocks, off0 = _parse_corpus_header(blob)
             self._check_geometry(cfg)
+            # lazy unpack: with an mmap'd container, peak memory is
+            # O(batch_size) events + rows for arbitrarily large corpora
+            blocks = self._iter_block_records(cfg, blob, n_blocks, off0)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
         for chunk in self._decode_chunks(cfg, blocks, mode, rep_bits):
             for row in chunk:
@@ -619,12 +639,15 @@ class CorpusEncoder:
         return np.stack(rows)
 
     def decode(self, blob: bytes) -> np.ndarray:
-        cfg, blocks = unpack_corpus(blob)
+        from .io.bitstream import _parse_corpus_header
+
+        cfg, n_blocks, off0 = _parse_corpus_header(blob)
         self._check_geometry(cfg)
         t0 = time.perf_counter()
         # the stream header's decode arithmetic is authoritative (mode may
         # differ from this dictionary's config — streams are self-describing)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
+        blocks = self._iter_block_records(cfg, blob, n_blocks, off0)
         parts = list(self._decode_chunks(cfg, blocks, mode, rep_bits))
         if not parts:  # empty container (zero blocks)
             out = np.zeros((0, cfg.block_size), dtype=np.float32)
@@ -634,9 +657,9 @@ class CorpusEncoder:
         self.metrics.log(
             {
                 "kind": "decode",
-                "blocks": len(blocks),
+                "blocks": n_blocks,
                 "seconds": dt,
-                "mb_per_s": len(blocks) * cfg.block_size * 4 / 1e6 / dt,
+                "mb_per_s": n_blocks * cfg.block_size * 4 / 1e6 / dt,
             }
         )
         return out

@@ -197,3 +197,31 @@ def test_index_parser_robustness(mld1):
     # footer_len smaller than the fixed fields
     tiny = blob + (4).to_bytes(4, "little") + b"HSCI"
     assert read_index(tiny) is None
+
+
+def test_decode_stream_unpacks_lazily(mld1, monkeypatch):
+    """The streaming decoder must not unpack the whole container up front:
+    after the first yielded row, only ~pipeline-depth chunks' events may
+    have been unpacked (bounded events memory for huge mmap'd corpora)."""
+    import hsc_tpu.runtime as rt
+
+    enc, _, blob = _blob(mld1, n_blocks=12)
+    enc1 = CorpusEncoder(mld1, backend="jax", batch_size=1)
+    calls = {"n": 0}
+    real = rt.unpack_block
+
+    def counting(cfg, data, off):
+        calls["n"] += 1
+        return real(cfg, data, off)
+
+    monkeypatch.setattr(rt, "unpack_block", counting)
+    it = enc1.decode_stream(blob)
+    first = next(it)
+    assert first.shape == (mld1.config.block_size,)
+    # 1-block chunks, <= 4 in flight: far fewer than all 12 unpacked
+    assert calls["n"] <= 6, calls["n"]
+    rows = [first] + list(it)
+    assert len(rows) == 12 and calls["n"] == 12
+    full = enc1.decode(blob)
+    for b, row in enumerate(rows):
+        assert row.tobytes() == full[b].tobytes()
