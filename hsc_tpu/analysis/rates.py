@@ -73,20 +73,25 @@ def stream_rate(cfg: CodecConfig, level: int, stream: LevelStream) -> RateReport
 
 
 def corpus_rates(
-    cfg: CodecConfig, blocks: list[list[tuple[int, LevelStream]]]
+    cfg: CodecConfig, blocks
 ) -> dict:
     """Aggregate rates over a packed corpus (reference:
-    `hsc/analysis.py :: calculateInformationRates` aggregate form)."""
+    `hsc/analysis.py :: calculateInformationRates` aggregate form).
+    `blocks` may be a list or a lazy iterator of per-block
+    ``[(level, stream)]`` lists (`io.iter_blocks`) — one block's events in
+    memory at a time, so `info` scales to mmap'd containers."""
     total_bytes = 0
     total_events = 0
-    total_samples = cfg.block_size * len(blocks)
+    n_blocks = 0
     per_level: dict[int, int] = {}
     for streams in blocks:
+        n_blocks += 1
         for level, stream in streams:
             r = stream_rate(cfg, level, stream)
             total_bytes += r.total_bytes
             total_events += r.n_events
             per_level[level] = per_level.get(level, 0) + r.payload_bits
+    total_samples = cfg.block_size * n_blocks
     return {
         "total_bytes": total_bytes,
         "total_events": total_events,

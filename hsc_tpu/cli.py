@@ -111,7 +111,6 @@ def main():
 
     from hsc_tpu import MultilevelDictionary
     from hsc_tpu.analysis import corpus_rates
-    from hsc_tpu.io import unpack_corpus
     from hsc_tpu.runtime import CorpusEncoder
     from hsc_tpu.utils.cache import enable_compilation_cache
 
@@ -122,15 +121,23 @@ def main():
         return
 
     if args.command == "info":
-        with open(args.input, "rb") as f:
-            blob = f.read()
-        from hsc_tpu.io import read_index
+        from hsc_tpu.io import iter_blocks, peek_corpus_header, read_index
 
-        cfg, blocks = unpack_corpus(blob)
-        rates = corpus_rates(cfg, blocks)
+        if args.mmap:
+            import mmap as _mmap
+
+            _f = open(args.input, "rb")
+            blob = _mmap.mmap(_f.fileno(), 0, access=_mmap.ACCESS_READ)
+        else:
+            with open(args.input, "rb") as f:
+                blob = f.read()
+        cfg, n_blocks = peek_corpus_header(blob)
+        # lazy walk: one block's events in memory at a time (info scales to
+        # mmap'd containers of any size)
+        rates = corpus_rates(cfg, iter_blocks(blob))
         print(json.dumps({
             "config": json.loads(cfg.to_json()),
-            "blocks": len(blocks),
+            "blocks": n_blocks,
             "file_bytes": len(blob),
             "seek_index": read_index(blob) is not None,
             **{k: v for k, v in rates.items() if k != "per_level_payload_bits"},

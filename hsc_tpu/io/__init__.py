@@ -1,5 +1,6 @@
 from .bitstream import (
     append_index,
+    iter_blocks,
     pack_stream,
     peek_corpus_header,
     pack_corpus,
@@ -13,6 +14,7 @@ from .bitstream import (
 
 __all__ = [
     "append_index",
+    "iter_blocks",
     "pack_stream",
     "unpack_stream",
     "pack_corpus",

@@ -403,6 +403,16 @@ def unpack_corpus(data: bytes) -> tuple[CodecConfig, list[list[tuple[int, LevelS
     return cfg, blocks
 
 
+def iter_blocks(data: bytes):
+    """Lazily yield each block's ``[(level, stream)]`` in container order —
+    the streaming counterpart of `unpack_corpus` (one block's events in
+    memory at a time; pair with an mmap'd container for O(1) footprint)."""
+    cfg, n_blocks, off = _parse_corpus_header(data)
+    for _ in range(n_blocks):
+        streams, off = unpack_block(cfg, data, off)
+        yield streams
+
+
 def unpack_block(
     cfg: CodecConfig, data: bytes, off: int
 ) -> tuple[list[tuple[int, LevelStream]], int]:

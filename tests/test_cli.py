@@ -277,3 +277,14 @@ def test_cli_mmap_decode_identical(cli_fixture):
     rall = np.load(d / "rall.npy")
     rmm = np.load(d / "rmm.npy")
     assert rmm.tobytes() == rall[0:2].tobytes()
+
+
+def test_cli_info_mmap(cli_fixture):
+    """info --mmap walks the container lazily off a memory map — same
+    output as the in-memory form."""
+    d = cli_fixture
+    a = json.loads(_run(["info", "--input", str(d / "s.hsct")]).stdout)
+    b = json.loads(_run(
+        ["info", "--input", str(d / "s.hsct"), "--mmap"]
+    ).stdout)
+    assert a == b
