@@ -663,3 +663,88 @@ class CorpusEncoder:
             }
         )
         return out
+
+
+class CorpusReader:
+    """Random-access serving handle over a container file.
+
+    Opens the container once (memory-mapped — O(1) resident for any size),
+    resolves block offsets once (the seek-index footer when present, one
+    header scan otherwise — `decode_blocks` on a raw blob re-scans per
+    call), and serves decoded rows on demand:
+
+        reader = CorpusReader("corpus.hsct", mld)
+        row = reader[17]                  # one block, [block_size] float32
+        for row in reader.rows(100, 164): # a range, chunked + pipelined
+            ...
+
+    Rows are byte-identical to `CorpusEncoder.decode`'s.  Thin state —
+    offsets (8 bytes/block) plus the codec — so many readers can share one
+    mmap'd corpus.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        mld: MultilevelDictionary,
+        *,
+        backend: str = "auto",
+        batch_size: int = 64,
+        mesh=None,
+    ):
+        import mmap as _mmap
+
+        from .io.bitstream import _parse_corpus_header
+
+        self._file = open(path, "rb")
+        self._data = _mmap.mmap(
+            self._file.fileno(), 0, access=_mmap.ACCESS_READ
+        )
+        self.codec = CorpusEncoder(
+            mld, backend=backend, batch_size=batch_size, mesh=mesh
+        )
+        self.cfg, self.n_blocks, _ = _parse_corpus_header(self._data)
+        self.codec._check_geometry(self.cfg)
+        offsets = read_index(self._data)
+        if offsets is None or offsets.shape[0] != self.n_blocks + 1:
+            _, offsets = scan_block_offsets(self._data)
+        self._offsets = offsets
+
+    def __len__(self) -> int:
+        return self.n_blocks
+
+    def __getitem__(self, i) -> np.ndarray:
+        if isinstance(i, slice):
+            return np.stack(list(self.rows(*i.indices(self.n_blocks)[:2])))
+        i = int(i)
+        if i < 0:
+            i += self.n_blocks
+        return next(iter(self.rows(i, i + 1)))
+
+    def rows(self, start: int = 0, stop: int | None = None):
+        """Yield decoded rows [start, stop) — chunked by the codec's
+        batch_size, device chunks pipelined, bounded memory."""
+        if stop is None:
+            stop = self.n_blocks
+        start, stop, _ = slice(start, stop).indices(self.n_blocks)
+        cfg = self.cfg
+
+        def _blocks():
+            for i in range(start, stop):
+                yield unpack_block(cfg, self._data, int(self._offsets[i]))[0]
+
+        for chunk in self.codec._decode_chunks(
+            cfg, _blocks(), cfg.decode_mode, cfg.rep_bits
+        ):
+            for row in chunk:
+                yield row
+
+    def close(self) -> None:
+        self._data.close()
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -225,3 +225,24 @@ def test_decode_stream_unpacks_lazily(mld1, monkeypatch):
     full = enc1.decode(blob)
     for b, row in enumerate(rows):
         assert row.tobytes() == full[b].tobytes()
+
+
+def test_corpus_reader(tmp_path, mld1):
+    """CorpusReader: one-time offset resolution over an mmap'd container,
+    rows byte-identical to full decode — indexed and unindexed files."""
+    from hsc_tpu.runtime import CorpusReader
+
+    enc, xs, blob = _blob(mld1, n_blocks=9)
+    full = enc.decode(blob)
+    for name, data in (("p.hsct", blob), ("i.hsct", append_index(blob))):
+        p = tmp_path / name
+        p.write_bytes(data)
+        with CorpusReader(str(p), mld1, backend="jax", batch_size=2) as rd:
+            assert len(rd) == 9
+            assert rd[3].tobytes() == full[3].tobytes()
+            assert rd[-1].tobytes() == full[8].tobytes()
+            got = rd[2:5]
+            assert got.tobytes() == full[2:5].tobytes()
+            assert [r.tobytes() for r in rd.rows()] == [
+                full[b].tobytes() for b in range(9)
+            ]
