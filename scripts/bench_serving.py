@@ -78,6 +78,24 @@ def main():
     t_idx = seek_times(blob)
     t_scan = seek_times(plain)
 
+    # CorpusReader: offsets resolved once — the steady-state serving number
+    import tempfile
+
+    from hsc_tpu.runtime import CorpusReader
+
+    with tempfile.NamedTemporaryFile(suffix=".hsct", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    with CorpusReader(path, mld, batch_size=64) as rd:
+        _ = rd[0]
+        ts = []
+        for b in targets:
+            t0 = time.perf_counter()
+            _ = rd[int(b)].sum()
+            ts.append(time.perf_counter() - t0)
+    t_reader = np.array(ts) * 1e3
+    os.unlink(path)
+
     t0 = time.perf_counter()
     n_rows = 0
     for row in codec.decode_stream(blob):
@@ -89,6 +107,7 @@ def main():
         "blocks": nb,
         "entropy": args.entropy,
         "seek_ms_median": round(float(np.median(t_idx)), 2),
+        "reader_ms_median": round(float(np.median(t_reader)), 2),
         "seek_ms_p90": round(float(np.percentile(t_idx, 90)), 2),
         "seek_scan_ms_median": round(float(np.median(t_scan)), 2),
         "stream_mb_s": round(stream_mb_s, 1),
