@@ -53,6 +53,10 @@ def parse_args():
     p.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--journal-dir", default=None)
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="shard encode/decode batches over a 'data' mesh of "
+                   "N devices (containers/rows byte-identical to the local "
+                   "path; N must divide the visible device count)")
     p.add_argument("--metrics", default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--wav-rate", type=int, default=16000,
@@ -172,6 +176,18 @@ def main():
 
         cfg2 = dataclasses.replace(mld.config, **overrides)
         mld = _MLD(cfg2, mld.dicts)
+    mesh = None
+    if args.mesh is not None:
+        import jax
+
+        from hsc_tpu.parallel import make_mesh
+
+        devs = jax.devices()
+        if args.mesh > len(devs):
+            raise SystemExit(
+                f"--mesh {args.mesh}: only {len(devs)} device(s) visible"
+            )
+        mesh = make_mesh({"data": args.mesh}, devices=devs[: args.mesh])
     codec = CorpusEncoder(
         mld,
         backend=args.backend,
@@ -179,6 +195,7 @@ def main():
         journal_dir=args.journal_dir,
         metrics_path=args.metrics,
         distributed=args.distributed,
+        mesh=mesh,
     )
 
     if args.command == "encode":

@@ -288,3 +288,50 @@ def test_cli_info_mmap(cli_fixture):
         ["info", "--input", str(d / "s.hsct"), "--mmap"]
     ).stdout)
     assert a == b
+
+
+def test_cli_mesh_encode_decode_identical(cli_fixture):
+    """--mesh N shards the CLI encode/decode over a virtual device mesh —
+    container and decoded bytes identical to the local path."""
+    d = cli_fixture
+    env = {
+        "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/tmp",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+
+    def run8(args):
+        proc = subprocess.run(
+            [sys.executable, "-m", "hsc_tpu.cli", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return proc
+
+    run8([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "s0m.hsct"), "--backend", "jax", "--platform",
+        "cpu",
+    ])
+    run8([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "sm.hsct"), "--backend", "jax", "--platform",
+        "cpu", "--mesh", "8",
+    ])
+    assert (d / "sm.hsct").read_bytes() == (d / "s0m.hsct").read_bytes()
+    run8([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "sm.hsct"),
+        "--output", str(d / "r0m.npy"), "--backend", "jax", "--platform",
+        "cpu",
+    ])
+    run8([
+        "decode", "--dict", str(d / "dict.npz"), "--input", str(d / "sm.hsct"),
+        "--output", str(d / "rm.npy"), "--backend", "jax", "--platform",
+        "cpu", "--mesh", "8",
+    ])
+    assert np.load(d / "rm.npy").tobytes() == np.load(d / "r0m.npy").tobytes()
+    # too many devices -> clean error
+    bad = _run([
+        "encode", "--dict", str(d / "dict.npz"), "--input", str(d / "sig.npy"),
+        "--output", str(d / "x.hsct"), "--platform", "cpu", "--mesh", "9",
+    ], check=False)
+    assert bad.returncode != 0 and "visible" in bad.stderr
