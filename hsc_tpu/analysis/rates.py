@@ -72,9 +72,7 @@ def stream_rate(cfg: CodecConfig, level: int, stream: LevelStream) -> RateReport
     )
 
 
-def corpus_rates(
-    cfg: CodecConfig, blocks
-) -> dict:
+def corpus_rates(cfg: CodecConfig, blocks) -> dict:
     """Aggregate rates over a packed corpus (reference:
     `hsc/analysis.py :: calculateInformationRates` aggregate form).
     `blocks` may be a list or a lazy iterator of per-block

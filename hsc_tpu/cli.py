@@ -102,6 +102,17 @@ def parse_args():
     return p.parse_args()
 
 
+def _read_container(path: str, use_mmap: bool):
+    """Container bytes for decode/info: mmap'd (O(1) resident) or read."""
+    if use_mmap:
+        import mmap as _mmap
+
+        f = open(path, "rb")
+        return _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def main():
     args = parse_args()
     if args.platform:
@@ -127,14 +138,7 @@ def main():
     if args.command == "info":
         from hsc_tpu.io import iter_blocks, peek_corpus_header, read_index
 
-        if args.mmap:
-            import mmap as _mmap
-
-            _f = open(args.input, "rb")
-            blob = _mmap.mmap(_f.fileno(), 0, access=_mmap.ACCESS_READ)
-        else:
-            with open(args.input, "rb") as f:
-                blob = f.read()
+        blob = _read_container(args.input, args.mmap)
         cfg, n_blocks = peek_corpus_header(blob)
         # lazy walk: one block's events in memory at a time (info scales to
         # mmap'd containers of any size)
@@ -208,14 +212,7 @@ def main():
         ratio = x.size * 4 / len(blob)
         print(f"{args.output}: {len(blob)} bytes ({ratio:.1f}x vs float32)")
     else:  # decode
-        if args.mmap:
-            import mmap as _mmap
-
-            _f = open(args.input, "rb")
-            blob = _mmap.mmap(_f.fileno(), 0, access=_mmap.ACCESS_READ)
-        else:
-            with open(args.input, "rb") as f:
-                blob = f.read()
+        blob = _read_container(args.input, args.mmap)
         if args.block_range is not None:
             try:
                 a_s, b_s = args.block_range.split(":")
@@ -224,7 +221,7 @@ def main():
                 raise SystemExit("--range must be 'A:B' (block indices)")
             from hsc_tpu.io import peek_corpus_header
 
-            _cfg_r, n_blocks = peek_corpus_header(blob)
+            _, n_blocks = peek_corpus_header(blob)
             # python slice semantics, as advertised: negative bounds count
             # from the end, out-of-range bounds clamp — never a traceback
             indices = range(*slice(a, b).indices(n_blocks))

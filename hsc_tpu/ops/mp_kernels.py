@@ -217,7 +217,6 @@ def _mp_kernel(
             )
             for s in spans
         }
-        dmat = dmat_by_span[cw]
     if mxu_extract:
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     fold_rows_ids = jax.lax.broadcasted_iota(jnp.int32, (fold, l8), 0)
@@ -230,8 +229,6 @@ def _mp_kernel(
     rmw_lanes_by_span = {
         s: jax.lax.broadcasted_iota(jnp.int32, (fold, s), 1) for s in spans
     }
-    rmw_rows = rmw_rows_by_span[cw]
-    rmw_lanes = rmw_lanes_by_span[cw]
     atom_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
     def cond(state):
@@ -369,51 +366,37 @@ def _mp_kernel(
                 _update_span(g, a, o, gram_row, c_hat, cw)
 
             return
-        if mxu_update:
-            # Scale first (the spec's first float32 rounding — IEEE VPU mul
-            # on the narrow [K, lag] row), then place via the 0/1 matmul
-            # P[i, j] = (j == o + i): u[k, j] = gsc[k, j - o] for j in
-            # [o, o+lag), else 0 — exact passthrough (see extract_candidate),
-            # and the MXU boundary is a hard rounding point, so the subtract
-            # below cannot be FMA-contracted with the multiply: no firewall
-            # store/load is needed.
-            pmat = jnp.where(dmat == o, jnp.float32(1), jnp.float32(0))
-            gsc = c_hat * gram_row
-            u = jax.lax.dot_general(
-                gsc, pmat, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # [K, CW]
-            chunk_new = chunk - u
-        else:
-            # Gram-domain update: place the Gram row at the window offset
-            # with a dynamic roll (no wraparound: o + lag <= CW), subtract,
-            # store back.  (Pre-padding the Gram to CW lanes was tried and
-            # measured SLOWER: the 4x bigger resident Gram shrinks the
-            # interleave-group budget.)
-            u0 = jnp.concatenate(
-                [gram_row, jnp.zeros((k, cw - lag), jnp.float32)], axis=1
-            )
-            u = pltpu.roll(u0, o, 1)
-            # The spec is multiply-round-subtract-round (the oracle's two
-            # float32 roundings).  The TPU toolchain compiles with excess
-            # precision allowed, which would contract mul+sub into one
-            # rounding — so the product makes a real VMEM store/load
-            # round-trip, which the compiler must honor as a rounding point.
-            prod[g, :, :] = c_hat * u
-            chunk_new = chunk - prod[g, :, :]
-        scores[g, :, pl.ds(a, cw)] = chunk_new
-        _refresh_span(g, a, chunk_new, cw)
+        _update_span(g, a, o, gram_row, c_hat, cw, chunk)
 
-    def _update_span(g, a, o, gram_row, c_hat, span):
+    def _update_span(g, a, o, gram_row, c_hat, span, chunk=None):
         """One accept's RMW + cache refresh confined to `span` aligned lanes
         at chunk offset a (requires o + lag <= span — guaranteed by the
-        dispatch above).  Same spec arithmetic as the wide body: either the
-        one-hot MXU placement (hard rounding point at the MXU boundary) or
-        roll + the VMEM firewall round-trip."""
-        chunk = scores[g, :, pl.ds(a, span)]
+        dispatch above).  `chunk` may pass in already-read window contents
+        (the serial accept path reuses its extraction read); None re-reads.
+        Two spec-equivalent update forms:
+
+        * MXU placement (`mxu_update`): scale first (the spec's first
+          float32 rounding — IEEE VPU mul on the narrow [K, lag] row), then
+          place via the 0/1 matmul P[i, j] = (j == o + i) — an exact
+          passthrough (see extract_candidate), and the MXU boundary is a
+          hard rounding point, so the subtract cannot be FMA-contracted
+          with the multiply: no firewall scratch is needed.
+        * roll + firewall: place the Gram row with a dynamic roll (no
+          wraparound: o + lag <= span).  The spec is multiply-round-
+          subtract-round (the oracle's two float32 roundings); the TPU
+          toolchain compiles with excess precision allowed, which would
+          contract mul+sub into one rounding — so the product makes a real
+          VMEM store/load round-trip, which the compiler must honor as a
+          rounding point.  (Pre-padding the Gram to CW lanes was tried and
+          measured SLOWER: the 4x bigger resident Gram shrinks the
+          interleave-group budget.)
+        """
+        if chunk is None:
+            chunk = scores[g, :, pl.ds(a, span)]
         if mxu_update:
-            pmat = jnp.where(dmat_by_span[span] == o, jnp.float32(1), jnp.float32(0))
+            pmat = jnp.where(
+                dmat_by_span[span] == o, jnp.float32(1), jnp.float32(0)
+            )
             gsc = c_hat * gram_row
             u = jax.lax.dot_general(
                 gsc, pmat, (((1,), (0,)), ((), ())),

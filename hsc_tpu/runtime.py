@@ -35,6 +35,32 @@ def _journal_name(process_index: int) -> str:
     return "corpus" if process_index == 0 else f"corpus.p{process_index}"
 
 
+def _join_container(
+    cfg: CodecConfig, records, n_blocks: int, index: bool
+) -> bytes:
+    """Assemble header + block records (+ optional seek-index footer from
+    the offsets the assembly already knows — no re-scan)."""
+    cfg_json = cfg.to_json().encode()
+    parts = [
+        MAGIC,
+        struct.pack("<BI", VERSION, len(cfg_json)),
+        cfg_json,
+        struct.pack("<I", n_blocks),
+    ]
+    off = sum(len(p) for p in parts)
+    offsets = np.empty(n_blocks + 1, np.int64)
+    for b, rec in enumerate(records):
+        offsets[b] = off
+        parts.append(rec)
+        off += len(rec)
+    offsets[n_blocks] = off
+    if index:
+        from .io.bitstream import _index_footer
+
+        parts.append(_index_footer(offsets))
+    return b"".join(parts)
+
+
 def assemble_container(
     cfg: CodecConfig,
     journal_dir: str,
@@ -67,26 +93,9 @@ def assemble_container(
             raise ValueError(
                 f"blocks not yet encoded in any journal: {missing[:8]}..."
             )
-        cfg_json = cfg.to_json().encode()
-        parts = [
-            MAGIC,
-            struct.pack("<BI", VERSION, len(cfg_json)),
-            cfg_json,
-            struct.pack("<I", n_blocks),
-        ]
-        off = sum(len(p) for p in parts)
-        offsets = np.empty(n_blocks + 1, np.int64)
-        for b in range(n_blocks):
-            offsets[b] = off
-            rec = owner[b].read(b)
-            parts.append(rec)
-            off += len(rec)
-        offsets[n_blocks] = off
-        if index:
-            from .io.bitstream import _index_footer
-
-            parts.append(_index_footer(offsets))
-        return b"".join(parts)
+        return _join_container(
+            cfg, (owner[b].read(b) for b in range(n_blocks)), n_blocks, index
+        )
     finally:
         for j in journals:
             j.close()
@@ -281,25 +290,15 @@ class CorpusEncoder:
         payloads: dict[int, bytes] = {}
         self._compute_payloads(blocks, todo, payloads)
 
-        parts = []
-        cfg_json = self.cfg.to_json().encode()
-        parts.append(MAGIC)
-        parts.append(struct.pack("<BI", VERSION, len(cfg_json)))
-        parts.append(cfg_json)
-        parts.append(struct.pack("<I", nb))
-        off = sum(len(p) for p in parts)
-        offsets = np.empty(nb + 1, np.int64)
-        for b in range(nb):
-            offsets[b] = off
-            rec = payloads[b] if b in payloads else self.journal.read(b)
-            parts.append(rec)
-            off += len(rec)
-        offsets[nb] = off
-        if index:
-            from .io.bitstream import _index_footer
-
-            parts.append(_index_footer(offsets))
-        return b"".join(parts)
+        return _join_container(
+            self.cfg,
+            (
+                payloads[b] if b in payloads else self.journal.read(b)
+                for b in range(nb)
+            ),
+            nb,
+            index,
+        )
 
     # -- multi-host orchestration (SURVEY.md §2.3 P9) -----------------------
 
@@ -572,13 +571,6 @@ class CorpusEncoder:
                 yield outs.pop(next_yield)
                 next_yield += 1
 
-    def _iter_block_records(self, cfg, blob, n_blocks, off):
-        """Lazily unpack block records in container order (the streaming
-        counterpart of `unpack_corpus` — one block's events in memory at a
-        time as `_decode_chunks` consumes them)."""
-        for _ in range(n_blocks):
-            streams, off = unpack_block(cfg, blob, off)
-            yield streams
 
     def decode_stream(self, blob: bytes, indices=None):
         """Yield decoded blocks ``[block_size]`` — the serving surface:
@@ -610,13 +602,13 @@ class CorpusEncoder:
                 unpack_block(cfg, blob, int(offsets[i]))[0] for i in indices
             )  # lazy: huge ranges unpack one chunk at a time
         else:
-            from .io.bitstream import _parse_corpus_header
+            from .io.bitstream import iter_blocks, peek_corpus_header
 
-            cfg, n_blocks, off0 = _parse_corpus_header(blob)
+            cfg, _n = peek_corpus_header(blob)
             self._check_geometry(cfg)
             # lazy unpack: with an mmap'd container, peak memory is
             # O(batch_size) events + rows for arbitrarily large corpora
-            blocks = self._iter_block_records(cfg, blob, n_blocks, off0)
+            blocks = iter_blocks(blob)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
         for chunk in self._decode_chunks(cfg, blocks, mode, rep_bits):
             for row in chunk:
@@ -639,15 +631,15 @@ class CorpusEncoder:
         return np.stack(rows)
 
     def decode(self, blob: bytes) -> np.ndarray:
-        from .io.bitstream import _parse_corpus_header
+        from .io.bitstream import iter_blocks, peek_corpus_header
 
-        cfg, n_blocks, off0 = _parse_corpus_header(blob)
+        cfg, n_blocks = peek_corpus_header(blob)
         self._check_geometry(cfg)
         t0 = time.perf_counter()
         # the stream header's decode arithmetic is authoritative (mode may
         # differ from this dictionary's config — streams are self-describing)
         mode, rep_bits = cfg.decode_mode, cfg.rep_bits
-        blocks = self._iter_block_records(cfg, blob, n_blocks, off0)
+        blocks = iter_blocks(blob)
         parts = list(self._decode_chunks(cfg, blocks, mode, rep_bits))
         if not parts:  # empty container (zero blocks)
             out = np.zeros((0, cfg.block_size), dtype=np.float32)

@@ -203,18 +203,18 @@ def test_decode_stream_unpacks_lazily(mld1, monkeypatch):
     """The streaming decoder must not unpack the whole container up front:
     after the first yielded row, only ~pipeline-depth chunks' events may
     have been unpacked (bounded events memory for huge mmap'd corpora)."""
-    import hsc_tpu.runtime as rt
+    import hsc_tpu.io.bitstream as bs
 
     enc, _, blob = _blob(mld1, n_blocks=12)
     enc1 = CorpusEncoder(mld1, backend="jax", batch_size=1)
     calls = {"n": 0}
-    real = rt.unpack_block
+    real = bs.unpack_block
 
     def counting(cfg, data, off):
         calls["n"] += 1
         return real(cfg, data, off)
 
-    monkeypatch.setattr(rt, "unpack_block", counting)
+    monkeypatch.setattr(bs, "unpack_block", counting)
     it = enc1.decode_stream(blob)
     first = next(it)
     assert first.shape == (mld1.config.block_size,)
