@@ -96,12 +96,22 @@ def main():
     t_reader = np.array(ts) * 1e3
     os.unlink(path)
 
+    # streaming rate + serving byte-identity: rows seen by the streaming
+    # path must equal the random-access rows for the seek targets
+    want = {int(b): None for b in targets}
     t0 = time.perf_counter()
     n_rows = 0
-    for row in codec.decode_stream(blob):
+    for b, row in enumerate(codec.decode_stream(blob)):
+        if b in want:
+            want[b] = row.tobytes()
         n_rows += 1
     dt = time.perf_counter() - t0
     stream_mb_s = n_rows * cfg.block_size * 4 / 1e6 / dt
+    sample = sorted(want)[:8]
+    seek_rows = codec.decode_blocks(blob, sample)
+    ok = all(seek_rows[j].tobytes() == want[b] for j, b in enumerate(sample))
+    print(f"serving rows byte-identical to stream: {ok}", file=sys.stderr)
+    assert ok
 
     out = {
         "blocks": nb,
