@@ -31,4 +31,16 @@ __all__ = [
     "make_test_config",
     "MultilevelDictionary",
     "SignalGenerator",
+    "CorpusEncoder",
+    "CorpusReader",
 ]
+
+
+def __getattr__(name):
+    # lazy: the runtime pulls jax/device machinery, which the light surface
+    # (config/dictionary/signal) should not pay for at import time
+    if name in ("CorpusEncoder", "CorpusReader"):
+        from . import runtime
+
+        return getattr(runtime, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
