@@ -354,7 +354,10 @@ def test_pallas_narrow_fuzz(seed):
     xb = jnp.asarray(xs)[:, :, None]
     npos = cfg.num_positions(0)
     ns = int(rng.choice(pallas_num_select_options(npos, w)))
-    kw = dict(num_coefs=nc, num_select=ns, interpret=True)
+    tol = 6.0 if seed % 2 else None  # SNR stop on half the seeds
+    kw = dict(
+        num_coefs=nc, num_select=ns, interpret=True, tolerance_snr=tol
+    )
     ref = mp_encode_pallas(
         xb, bank, gt, sweep_mode="serial", narrow_mode="0", **kw
     )
