@@ -15,6 +15,8 @@ Detail lines go to stderr; stdout carries exactly the one JSON line.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,11 +27,43 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s: float = 150.0) -> bool:
+    """True if the default (relay) backend initializes within `timeout_s`.
+
+    The TPU relay has documented outage windows during which backend init
+    HANGS ~25 minutes before erroring `UNAVAILABLE` (CLAUDE.md).  Probing in
+    a bounded subprocess keeps this script's worst case at `timeout_s` so an
+    outage degrades the bench to an honest CPU run instead of losing the
+    round's record.  Override with HSC_TPU_BENCH_PLATFORM=tpu|cpu.
+    """
+    forced = os.environ.get("HSC_TPU_BENCH_PLATFORM")
+    if forced == "tpu":
+        return True
+    if forced == "cpu":
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    on_tpu = probe_backend()
     from hsc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
+
+    if not on_tpu:
+        log("TPU backend unavailable (bounded probe failed) — CPU fallback "
+            "run at reduced scale; JSON line carries platform=cpu")
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from hsc_tpu import MultilevelDictionary, SignalGenerator, make_test_config
@@ -40,7 +74,7 @@ def main():
     )
     mld = MultilevelDictionary.generate(cfg, seed=7)
     gen = SignalGenerator(mld, rates=2e-3)
-    B = 64
+    B = 64 if on_tpu else 8
     xs = gen.generate_signals(B, cfg.block_size, seed=3)
     block_mb = cfg.block_size * 4 / 1e6
 
@@ -62,20 +96,21 @@ def main():
 
     backend = jax.default_backend()
     log(f"jax backend: {backend}, devices: {jax.devices()}")
+    enc_backend = "pallas" if on_tpu else "jax"
     gram_t = jnp.asarray(np.ascontiguousarray(gram.transpose(1, 0, 2)))
     bank_d = jnp.asarray(bank)
     xb = jnp.asarray(xs)[:, :, None]
     # enough batches to amortize the environment's fixed per-dispatch
     # round-trip (~28 ms through the TPU relay; see BASELINE.md) — the
     # marginal per-batch rate is the steady-state number a local host sees
-    NBATCH = 16
+    NBATCH = 16 if on_tpu else 2
     batches = [xb] * NBATCH
 
     def run(ns):
         # window=None: all 16 batches in flight (fits HBM at ~4.4 GB of
         # score state) so the fixed dispatch round-trip fully amortizes
         encs = encode_batches_pipelined(
-            batches, bank_d, gram_t, backend="pallas", num_coefs=512,
+            batches, bank_d, gram_t, backend=enc_backend, num_coefs=512,
             num_select=ns, window=None,
         )
         return jax.device_get([e.count for e in encs])
@@ -104,11 +139,11 @@ def main():
 
     rep_q, step = rep_quantize(bank, cfg.rep_bits)
     enc = encode_batches_pipelined(
-        [xb], bank_d, gram_t, backend="pallas", num_coefs=512
+        [xb], bank_d, gram_t, backend=enc_backend, num_coefs=512
     )[0]
     enc = jax.device_get(enc)
     amp_step = (enc.scale.astype(np.float32) * np.float32(step)).astype(np.float32)
-    DB = 32  # 2048 decode blocks amortize the fixed dispatch round-trip
+    DB = 32 if on_tpu else 2  # 2048 decode blocks amortize the dispatch RTT
     dec_args = (
         jnp.asarray(np.tile(enc.positions, (DB, 1))),
         jnp.asarray(np.tile(enc.atoms, (DB, 1))),
@@ -140,8 +175,9 @@ def main():
 
     # ---- ordered (v1) decode: 8-way interleaved event chains --------------
     from hsc_tpu.ops.decode_kernel import mp_decode_pallas
+    from hsc_tpu.ops.decode import mp_decode_batch_jax
 
-    DBO = 8  # 512 blocks amortize the dispatch round-trip
+    DBO = 8 if on_tpu else 1  # 512 blocks amortize the dispatch round-trip
     odec_args = (
         jnp.asarray(np.tile(enc.positions, (DBO, 1))),
         jnp.asarray(np.tile(enc.atoms, (DBO, 1))),
@@ -150,10 +186,11 @@ def main():
         jnp.asarray(np.tile(enc.scale, DBO)),
         bank_d,
     )
+    odec_fn = mp_decode_pallas.__wrapped__ if on_tpu else mp_decode_batch_jax
 
     @jax.jit
     def _odec_checksum(*a):
-        return mp_decode_pallas.__wrapped__(*a, n=cfg.block_size).sum()
+        return odec_fn(*a, n=cfg.block_size).sum()
 
     t0 = time.perf_counter()
     jax.device_get(_odec_checksum(*odec_args))
@@ -177,11 +214,13 @@ def main():
     )
     hmld = MultilevelDictionary.generate(hcfg, seed=9)
     hgen = SignalGenerator(hmld, rates=2e-3)
-    HB = 64  # 2 MB/batch: steady-state rate, not dispatch latency
+    HB = 64 if on_tpu else 8  # 2 MB/batch: steady-state rate, not latency
     hxs = hgen.generate_signals(HB, hcfg.block_size, seed=5)
     hxb = jnp.asarray(hxs)[:, :, None]
-    hcoder = HierarchicalConvolutionalSparseCoder(hmld, backend="pallas")
-    HNB = 16
+    hcoder = HierarchicalConvolutionalSparseCoder(
+        hmld, backend="pallas" if on_tpu else "jax"
+    )
+    HNB = 16 if on_tpu else 2
     hbatches = [hxb] * HNB
 
     def run_hier():
@@ -203,7 +242,7 @@ def main():
     # ---- dictionary learning: device-resident k-means refinement ----------
     from hsc_tpu.learn.kmeans import kmeans_refine_device
 
-    M, D, K, ITERS = 65536, 32, 64, 20
+    M, D, K, ITERS = (65536, 32, 64, 20) if on_tpu else (16384, 32, 64, 5)
     lrng = np.random.default_rng(0)
     lflat = lrng.standard_normal((M, D)).astype(np.float32)
     lcents = lrng.standard_normal((K, D)).astype(np.float32)
@@ -230,6 +269,7 @@ def main():
         "decode_ordered_mb_s": round(odec_mbps, 2),
         "encode_hier_mb_s": round(hier_mbps, 2),
         "learn_mwindows_s": round(learn_rate, 2),
+        "platform": "tpu" if on_tpu else "cpu (relay outage fallback)",
     }))
 
 
