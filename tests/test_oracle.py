@@ -299,8 +299,11 @@ def test_conversions_match_loop_spec(mld2):
 
 
 def test_conversions_corpus_scale_fast(mld2):
-    """A 1M-event stream demotes AND re-promotes in <1 s (vectorized forms;
-    the old per-event Python loops took minutes at this size)."""
+    """A 1M-event stream demotes AND re-promotes in seconds (vectorized
+    forms; the old per-event Python loops took minutes at this size).  The
+    bound is loose (4 s vs the ~0.7 s unloaded time) so the test stays
+    stable on a machine running background jobs — it guards the complexity
+    class, not the constant."""
     import time
 
     from hsc_tpu.oracle import to_distributed, to_top_level
@@ -322,7 +325,7 @@ def test_conversions_corpus_scale_fast(mld2):
     merged = to_top_level(cfg, parts)
     dt = time.perf_counter() - t0
     assert merged.positions.shape[0] == n
-    assert dt < 1.0, f"conversion round-trip took {dt:.2f}s"
+    assert dt < 4.0, f"conversion round-trip took {dt:.2f}s"
 
 
 def test_to_top_level_rejects_unplaceable_position(mld2):
