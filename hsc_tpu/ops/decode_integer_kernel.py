@@ -59,11 +59,11 @@ def _balanced_digit(cur):
 
 
 def _int_decode_kernel(
-    q_ref,  # [1, M] i32 VMEM — bucket index per event
-    r_ref,  # [1, M] i32 VMEM — in-bucket offset per event
-    cz_ref,  # [1, M] i32 VMEM — count-masked codes
-    atom_ref,  # [1, M] i32 VMEM
-    step_ref,  # [1, 1] f32 SMEM — amp_step for this block
+    q_ref,  # [1, 1, M] i32 VMEM — bucket index per event
+    r_ref,  # [1, 1, M] i32 VMEM — in-bucket offset per event
+    cz_ref,  # [1, 1, M] i32 VMEM — count-masked codes
+    atom_ref,  # [1, 1, M] i32 VMEM
+    step_ref,  # [1, 1, 1] f32 SMEM — amp_step for this block
     rep0_ref,  # [W8, Kp] i8 VMEM (resident) — low rep digit, transposed
     rep1_ref,  # [W8, Kp] i8 VMEM (resident) — high rep digit, transposed
     out_ref,  # [1, NQR, W] f32 VMEM
@@ -76,7 +76,7 @@ def _int_decode_kernel(
     m: int,
 ):
     kp = rep0_ref.shape[1]
-    atoms = atom_ref[0:1, :]  # [1, M]
+    atoms = atom_ref[0]  # [1, M]
     # ---- gather: one-hot(atom) matmul over the rep digit planes ----------
     kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, m), 0)
     onehot_k = (kiota == atoms).astype(jnp.int8)  # [Kp, M]
@@ -88,7 +88,7 @@ def _int_decode_kernel(
         rep1_ref[:, :], onehot_k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    val = (g0 + (g1 << 8)) * cz_ref[0:1, :]  # [W8, M] i32, |val| < 2^27
+    val = (g0 + (g1 << 8)) * cz_ref[0]  # [W8, M] i32, |val| < 2^27
 
     # ---- shift: val rows [0, W) move down by r_e (per-lane) ---------------
     # Buffer height H >= 2W with zero rows above W, so ceil(log2 W) uniform
@@ -98,7 +98,7 @@ def _int_decode_kernel(
     buf = jnp.concatenate(
         [val, jnp.zeros((h - w8, m), jnp.int32)], axis=0
     )  # [H, M] — rows >= W are zero (gather pads are zero rows)
-    r_row = r_ref[0:1, :]  # [1, M]
+    r_row = r_ref[0]  # [1, M]
     shift = 1
     while shift < w:
         bit = (r_row & shift) != 0  # [1, M], broadcasts over sublanes
@@ -116,7 +116,7 @@ def _int_decode_kernel(
 
     # ---- bucket: one iota-compare one-hot, one MXU matmul ------------------
     qiota = jax.lax.broadcasted_iota(jnp.int32, (nq_rows, m), 0)
-    maskq = (qiota == q_ref[0:1, :]).astype(jnp.int8)  # [NQR, M]
+    maskq = (qiota == q_ref[0]).astype(jnp.int8)  # [NQR, M]
     bucket = jax.lax.dot_general(
         maskq, digall, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -131,7 +131,7 @@ def _int_decode_kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nq_rows, w), 0)
     hi_prev = jnp.where(row_ids == 0, 0, pltpu.roll(hi, 1, 0))
     folded = lo + hi_prev  # row q covers samples [W*q, W*q + W)
-    out_ref[0, :, :] = folded.astype(jnp.float32) * step_ref[0, 0]
+    out_ref[0, :, :] = folded.astype(jnp.float32) * step_ref[0, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
@@ -178,6 +178,12 @@ def mp_decode_integer_pallas(
     cz = jnp.where(
         jnp.arange(m)[None, :] < count[:, None], codes, 0
     ).astype(jnp.int32)
+    # Mosaic requires the last-two block dims to divide (8, 128) or equal the
+    # array dims — a (1, M) block over [B, M] fails the sublane rule for
+    # B > 1 (hardware-only: interpret mode does not enforce tiling).  Carry
+    # the per-event arrays as [B, 1, M] so the (1, 1, M) block's last two
+    # dims equal the array's, like the output spec.
+    q, r, cz, atoms = (a[:, None, :] for a in (q, r, cz, atoms))
 
     # ---- rep digit planes, transposed [W8, Kp] (resident) ------------------
     rq = rep_q[:, :, 0].astype(jnp.int32)  # [K, W]
@@ -193,11 +199,13 @@ def mp_decode_integer_pallas(
         num_scalar_prefetch=0,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((w8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -225,7 +233,8 @@ def mp_decode_integer_pallas(
             vmem_limit_bytes=min(int(est * 1.6) + (4 << 20), 110 << 20)
         ),
     )(
-        q, r, cz, atoms, amp_step[:, None].astype(jnp.float32), rep0, rep1
+        q, r, cz, atoms,
+        amp_step[:, None, None].astype(jnp.float32), rep0, rep1
     )[0]
     return out.reshape(b, nq_rows * w)[:, :n, None]
 
