@@ -116,11 +116,13 @@ def mp_decode_pallas(
     # blocking the event buffers per program is what keeps SMEM (~1 MiB)
     # bounded for arbitrarily large batches.  HSC_TPU_DECODE_GROUP tunes the
     # interleave width (multiples of 8; the chain is latency-bound with tiny
-    # vector work, so wider groups may keep scaling where the encoder's
-    # heavyweight accepts stop at 2 — BASELINE "speed-of-light").
+    # vector work, so wider groups keep scaling where the encoder's
+    # heavyweight accepts stop at 2).  Default 16: the round-3 hardware A/B
+    # measured 49.7 µs/block marginal at group 16 vs 52.0 at 8 and 54.0 at
+    # 32 (BASELINE "Decode ('ordered')"); bitwise at 16 by test and parity.
     import os as _os
 
-    group = max(8, int(_os.environ.get("HSC_TPU_DECODE_GROUP", "8")) // 8 * 8)
+    group = max(8, int(_os.environ.get("HSC_TPU_DECODE_GROUP", "16")) // 8 * 8)
     b8 = _round_up(b, group)
     if b8 != b:
         pad = ((0, b8 - b), (0, 0))

@@ -770,19 +770,28 @@ def _mp_pallas_stage(
         accept_mode = _os.environ.get("HSC_TPU_KERNEL_ACCEPT", "extract")
     mxu_extract = accept_mode in ("mxu", "extract")
     mxu_update = accept_mode in ("mxu", "update")
-    # HSC_TPU_KERNEL_SWEEP: 'batched' (default — phase-split sweeps with
-    # independent candidate extractions, see step_sweep_batched) or 'serial'
-    # (one fully-serial accept chain per candidate).  Bitwise-identical
-    # streams either way.
+    # HSC_TPU_KERNEL_SWEEP: 'serial' (default — one fully-serial accept
+    # chain per candidate, whose extraction chunk read is REUSED by the
+    # update) or 'batched' (phase-split sweeps with independent candidate
+    # extractions, see step_sweep_batched).  Bitwise-identical streams
+    # either way.  The round-3 hardware A/B measured serial FASTER (187.5
+    # vs 157.7 MB/s at ns=8) despite batched's lower op count: phase
+    # splitting forfeits the chunk reuse (phase-C updates must re-read
+    # their window, stale extraction chunks must not be written back), and
+    # the per-accept floor tracks chunk traffic, not issue-op count
+    # (BASELINE "Issue-op accounting — A/B outcome").
     if sweep_mode is None:
-        sweep_mode = _os.environ.get("HSC_TPU_KERNEL_SWEEP", "batched")
+        sweep_mode = _os.environ.get("HSC_TPU_KERNEL_SWEEP", "serial")
     sweep_batched = sweep_mode != "serial"
     # HSC_TPU_KERNEL_NARROW=1: tile-narrow extraction reads + span-narrow
     # updates (see apply_window_update's narrow branch).  Bitwise-identical
-    # streams; default off until measured on hardware.  Only meaningful when
-    # the chunk is wider than one lane-tile and the window can actually fit
-    # one (lag <= 128), and the fold-row blends must be in play (lpad <= l8
-    # — the tiny-geometry full-recompute path stays wide).
+    # streams; default off — narrow helps batched sweeps (+5%: their
+    # updates re-read anyway, so smaller reads win) but HURTS serial ones
+    # (153.6 vs 187.5 MB/s: it forfeits the extraction-chunk reuse), and
+    # serial is the default.  Only meaningful when the chunk is wider than
+    # one lane-tile and the window can actually fit one (lag <= 128), and
+    # the fold-row blends must be in play (lpad <= l8 — the tiny-geometry
+    # full-recompute path stays wide).
     if narrow_mode is None:
         narrow_mode = _os.environ.get("HSC_TPU_KERNEL_NARROW", "0")
     narrow = (
