@@ -143,7 +143,10 @@ def main():
     )[0]
     enc = jax.device_get(enc)
     amp_step = (enc.scale.astype(np.float32) * np.float32(step)).astype(np.float32)
-    DB = 32 if on_tpu else 2  # 2048 decode blocks amortize the dispatch RTT
+    # 16384 decode blocks: the round-3 fused kernel runs 1.78 µs/block, so
+    # the old 2048-block measurement was ~90% fixed dispatch RTT (28 ms) and
+    # swung with relay load; at 16384 blocks compute dominates again.
+    DB = 256 if on_tpu else 2
     dec_args = (
         jnp.asarray(np.tile(enc.positions, (DB, 1))),
         jnp.asarray(np.tile(enc.atoms, (DB, 1))),
@@ -177,7 +180,9 @@ def main():
     from hsc_tpu.ops.decode_kernel import mp_decode_pallas
     from hsc_tpu.ops.decode import mp_decode_batch_jax
 
-    DBO = 8 if on_tpu else 1  # 512 blocks amortize the dispatch round-trip
+    # 2048 blocks (~105 ms compute at 51 µs/block) so the fixed 28 ms
+    # dispatch RTT is <25% of the measurement instead of ~50% at 512
+    DBO = 32 if on_tpu else 1
     odec_args = (
         jnp.asarray(np.tile(enc.positions, (DBO, 1))),
         jnp.asarray(np.tile(enc.atoms, (DBO, 1))),
