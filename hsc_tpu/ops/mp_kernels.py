@@ -116,6 +116,7 @@ def _mp_kernel(
     sweep_batched: bool,
     uniform_w: bool,
     narrow: bool,
+    barrier: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -132,7 +133,7 @@ def _mp_kernel(
     `uniform_w` specializes away the selection-weight multiplies when every
     weight is 1.
     """
-    if mxu_update:
+    if mxu_update or barrier:
         scores, colmax, sems = scratch
         prod = None
     else:
@@ -409,8 +410,18 @@ def _mp_kernel(
                 [gram_row, jnp.zeros((k, span - lag), jnp.float32)], axis=1
             )
             u = pltpu.roll(u0, o, 1)  # no wrap: o + lag <= span
-            prod[g, :, :span] = c_hat * u
-            chunk_new = chunk - prod[g, :, :span]
+            if barrier:
+                # HSC_TPU_KERNEL_FIREWALL=barrier: the rounding point is an
+                # optimization_barrier on the product instead of a VMEM
+                # store/load round-trip — saves 2·K·span/1024 vregs of
+                # firewall traffic per accept IF Mosaic honors the barrier
+                # as a contraction fence.  Hardware parity (pinned-oracle
+                # streams) is the authority on whether it does; interpret
+                # mode cannot distinguish the two.
+                chunk_new = chunk - jax.lax.optimization_barrier(c_hat * u)
+            else:
+                prod[g, :, :span] = c_hat * u
+                chunk_new = chunk - prod[g, :, :span]
         scores[g, :, pl.ds(a, span)] = chunk_new
         _refresh_span(g, a, chunk_new, span)
 
