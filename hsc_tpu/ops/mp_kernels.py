@@ -97,8 +97,9 @@ def _mp_kernel(
     scale_ref,  # [B, 1] f32 SMEM
     eres_ref,  # [B, 1] f32 SMEM
     # scratch: scores [G, K, P2] f32, colmax [G, fold, L8+CW] f32 (position-
-    # folded selection caches), [prod [G, K, CW] f32 — legacy accept path's
-    # FMA firewall only], sems (G,) DMA semaphores
+    # folded selection caches), [prod [G, K, CW] f32 — the VMEM FMA firewall,
+    # absent under mxu_update (MXU boundary rounds) or barrier
+    # (optimization_barrier rounds)], sems (G,) DMA semaphores
     *scratch,
     k: int,
     w: int,
@@ -682,15 +683,16 @@ def mp_encode_pallas(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
+    firewall_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
     Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
-    `accept_mode` / `sweep_mode` override HSC_TPU_KERNEL_ACCEPT /
-    HSC_TPU_KERNEL_SWEEP (tests exercise every combination in one process
-    this way).
+    `accept_mode` / `sweep_mode` / `narrow_mode` / `firewall_mode` override
+    HSC_TPU_KERNEL_ACCEPT / _SWEEP / _NARROW / _FIREWALL (tests exercise
+    every combination in one process this way).
     """
     scores0, e0, peak = encode_init(xs, bank)
     scale, inv = quantizer_steps(jax.device_get(peak), amp_bits)
@@ -700,6 +702,7 @@ def mp_encode_pallas(
         singleton_weight=singleton_weight, n_raw=n_raw,
         num_select=num_select, interpret=interpret, accept_mode=accept_mode,
         sweep_mode=sweep_mode, narrow_mode=narrow_mode,
+        firewall_mode=firewall_mode,
     )
 
 
@@ -708,6 +711,7 @@ def mp_encode_pallas(
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
         "num_select", "interpret", "accept_mode", "sweep_mode", "narrow_mode",
+        "firewall_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -728,6 +732,7 @@ def _mp_pallas_stage(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
+    firewall_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -811,9 +816,22 @@ def _mp_pallas_stage(
         and lag <= 128
         and lpad <= l8
     )
+    # HSC_TPU_KERNEL_FIREWALL: 'store' (default — the mul->VMEM store->load
+    # round trip is the rounding point the toolchain must honor) or
+    # 'barrier' (jax.lax.optimization_barrier on the product instead,
+    # saving the firewall scratch traffic IF Mosaic honors the barrier as a
+    # contraction fence).  Interpret mode cannot distinguish the two;
+    # scripts/check_tpu_parity.py (pinned-oracle streams on real hardware)
+    # is the authority — keep 'store' the default unless a hardware parity
+    # run with barrier enabled has passed.  Irrelevant under mxu_update
+    # (the MXU boundary is already a hard rounding point — no firewall).
+    if firewall_mode is None:
+        firewall_mode = _os.environ.get("HSC_TPU_KERNEL_FIREWALL", "store")
+    barrier = firewall_mode == "barrier" and not mxu_update
     uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
     per_block = (
-        k8 * p2 + fold * (l8 + cw) + (0 if mxu_update else k8 * cw)
+        k8 * p2 + fold * (l8 + cw)
+        + (0 if (mxu_update or barrier) else k8 * cw)
     ) * 4
     gram_bytes = k8 * k8 * lag * 4
     vmem_budget = (int(env_vmem) if env_vmem else 12) << 20
@@ -848,13 +866,13 @@ def _mp_pallas_stage(
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
         num_select=num_select, mxu_extract=mxu_extract,
         mxu_update=mxu_update, sweep_batched=sweep_batched,
-        uniform_w=uniform_w, narrow=narrow,
+        uniform_w=uniform_w, narrow=narrow, barrier=barrier,
     )
     scratch_shapes = [
         pltpu.VMEM((group, k8, p2), jnp.float32),
         pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
     ]
-    if not mxu_update:
+    if not (mxu_update or barrier):
         scratch_shapes.append(pltpu.VMEM((group, k8, cw), jnp.float32))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((group,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -42,17 +42,20 @@ class DataParallelEncoder:
         self._vec_sharding = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
         settings = {k: v for k, v in mp.settings.items()}
-        if mp.backend == "pallas":
+        if mp.backend.startswith("pallas"):
             # full-performance pod path: every shard runs the fused VMEM
             # kernel on its local blocks (pallas inside shard_map); when the
             # geometry's fold factor cannot host this num_select, the XLA
             # multi-select path runs instead (decided at trace time from the
-            # scores shape — same emitted stream either way)
+            # scores shape — same emitted stream either way).  The
+            # 'pallas_interpret' backend runs the same dispatch in interpret
+            # mode so CPU tests/dryruns cover the production configuration.
             from ..ops.mp_kernels import (
                 _mp_pallas_stage,
                 pallas_num_select_options,
             )
 
+            interpret = mp.backend == "pallas_interpret"
             w = int(mp.bank.shape[1])
             xla_loop = jax.vmap(
                 functools.partial(mp_encode_from_init, **settings),
@@ -65,7 +68,7 @@ class DataParallelEncoder:
                     return xla_loop(scores0, e0, scale, inv, bank, gram_t)
                 return jax.shard_map(
                     lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(
-                        s0, e, sc, iv, bk, gt, interpret=False, **settings
+                        s0, e, sc, iv, bk, gt, interpret=interpret, **settings
                     ),
                     mesh=mesh,
                     in_specs=(P(axis, None, None), P(axis), P(axis), P(axis),

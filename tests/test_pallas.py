@@ -75,6 +75,41 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
         )
 
 
+@pytest.mark.parametrize("accept", ["legacy", "extract"])
+@pytest.mark.parametrize("ns", [1, "sweep"])
+def test_pallas_firewall_barrier_bitwise(mld1, accept, ns):
+    """HSC_TPU_KERNEL_FIREWALL=barrier replaces the product's VMEM
+    store/load round trip with jax.lax.optimization_barrier as the
+    mul->subtract rounding point.  In interpret mode both forms evaluate
+    the same two-rounding arithmetic, so streams must be bitwise identical
+    — but interpret mode CANNOT validate that Mosaic honors the barrier as
+    a contraction fence on hardware; scripts/check_tpu_parity.py with the
+    mode enabled is the authority (keep default 'store' until it passes)."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=95)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = mld1.config.num_coefs[0]
+    if ns == "sweep":
+        from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+        npos = mld1.config.num_positions(0)
+        w = mld1.config.window_sizes[0]
+        ns = max(pallas_num_select_options(npos, w))
+    kw = dict(
+        num_coefs=nc, num_select=ns, interpret=True,
+        singleton_weight=0.9, n_raw=bank.shape[0] - 2,
+        accept_mode=accept,
+    )
+    ref = mp_encode_pallas(xb, bank, gt, firewall_mode="store", **kw)
+    got = mp_encode_pallas(xb, bank, gt, firewall_mode="barrier", **kw)
+    for fld in ("positions", "atoms", "codes", "count", "scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
+        )
+
+
 @pytest.mark.parametrize("sweep", ["serial", "batched"])
 def test_pallas_sweep_modes_bitwise(mld1, sweep):
     """The phase-split sweep (independent candidate extractions + scalar

@@ -253,50 +253,17 @@ def test_dp_encode_multihost_single_process(mesh, mld1):
 
 def test_dp_encode_pallas_interpret_backend(mesh, mld1):
     """DP with the pallas kernel per shard (interpret on CPU) emits the same
-    streams as the XLA DP path."""
+    streams as the XLA DP path — the production multi-chip configuration
+    (pallas inside shard_map), first-class via backend='pallas_interpret'."""
     gen = SignalGenerator(mld1, rates=4e-3)
     xs = gen.generate_signals(8, mld1.config.block_size, seed=54)
     jax_coder = ConvolutionalSparseCoder(mld1, backend="jax")
     dp_jax = DataParallelEncoder(mesh, jax_coder.mp)
     ref = dp_jax.encode(xs)
 
-    import hsc_tpu.parallel.dp as dp_mod
-    from hsc_tpu.ops.mp_kernels import _mp_pallas_stage
-    import functools as ft
-
     pal_coder = ConvolutionalSparseCoder(mld1, backend="pallas_interpret")
-    # build a DP encoder around the interpret kernel by monkey-level shim:
-    # reuse the class but force the pallas branch with interpret=True
-    class _MP:
-        pass
-
-    mp = pal_coder.mp
-    enc = DataParallelEncoder.__new__(DataParallelEncoder)
-    enc.mesh, enc.mp, enc.axis = mesh, mp, "data"
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    enc._data_sharding = NamedSharding(mesh, P("data", None, None))
-    enc._vec_sharding = NamedSharding(mesh, P("data"))
-    enc._repl = NamedSharding(mesh, P())
-    settings = {k: v for k, v in mp.settings.items() if k != "num_select"}
-
-    def loop(scores0, e0, scale, inv, bank, gram_t):
-        return jax.shard_map(
-            lambda s0, e, sc, iv, bk, gt: _mp_pallas_stage(
-                s0, e, sc, iv, bk, gt, interpret=True, **settings
-            ),
-            mesh=mesh,
-            in_specs=(P("data", None, None), P("data"), P("data"), P("data"), P(), P()),
-            out_specs=__import__("hsc_tpu.ops.encode", fromlist=["EncodedBlock"]).EncodedBlock(
-                positions=P("data", None), atoms=P("data", None),
-                codes=P("data", None), count=P("data"), scale=P("data"),
-                energy0=P("data"), energy_res=P("data"),
-            ),
-            check_vma=False,
-        )(scores0, e0, scale, inv, bank, gram_t)
-
-    enc._loop = jax.jit(loop)
-    out = enc.encode(xs)
+    dp_pal = DataParallelEncoder(mesh, pal_coder.mp)
+    out = dp_pal.encode(xs)
     np.testing.assert_array_equal(out.codes, ref.codes)
     np.testing.assert_array_equal(out.positions, ref.positions)
     np.testing.assert_array_equal(out.count, ref.count)
