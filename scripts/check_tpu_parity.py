@@ -139,6 +139,40 @@ def main():
         ok &= streams_equal(pk8n, ref8, b)
     check("pallas ns=8 span-narrow accepts == pinned oracle", ok)
 
+    # ---- 2d. barrier firewall (HSC_TPU_KERNEL_FIREWALL=barrier) ------------
+    # THE authority on whether Mosaic honors jax.lax.optimization_barrier as
+    # a mul/sub contraction fence (interpret mode cannot tell — the spec is
+    # multiply-round-subtract-round and FMA contraction would drift low bits
+    # of the residual scores, eventually flipping a selection).  Only on a
+    # pass here may the mode be documented as usable (ADVICE r3).
+    t0 = time.time()
+    pkbar = jax.device_get(
+        mp_encode_pallas(
+            xb[:4], bank, gram_t, num_coefs=512, firewall_mode="barrier",
+        )
+    )
+    pkbar8 = jax.device_get(
+        mp_encode_pallas(
+            xb[:4], bank, gram_t, num_coefs=512, num_select=8,
+            firewall_mode="barrier",
+        )
+    )
+    print(f"pallas barrier-firewall encode: {time.time()-t0:.1f}s "
+          f"(incl. compile)", flush=True)
+    ok = True
+    for b in range(4):
+        ref1 = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]),
+        )
+        ref8 = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]), num_select=8,
+        )
+        ok &= streams_equal(pkbar, ref1, b)
+        ok &= streams_equal(pkbar8, ref8, b)
+    check("pallas barrier firewall (ns=1 + ns=8) == pinned oracle", ok)
+
     # ---- 3+4. hierarchical pipeline + corpus bytes + decode ---------------
     cfg2 = make_test_config(
         counts=(32, 16), scales=(32, 96), num_coefs=(256, 128), block_size=8192

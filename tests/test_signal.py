@@ -49,3 +49,58 @@ def test_rates_scalar_vs_array(mld2):
     events = gen.generate_events(1024, seed=0)
     levels = {e.level for e in events}
     assert levels <= {0, 1}
+
+
+def test_synthesized_audio_reproducible_and_sane():
+    """Realistic audio synthesis (the audio-experiment corpus — SURVEY.md §6
+    purpose parity): seeded byte-reproducibility, peak normalization, and
+    non-trivial spectral content (music has harmonic energy; speech has both
+    voiced and noise segments)."""
+    from hsc_tpu.signal import synthesize_music, synthesize_speech
+
+    n = 16000
+    for synth in (synthesize_music, synthesize_speech):
+        a = synth(n, seed=3)
+        b = synth(n, seed=3)
+        assert a.tobytes() == b.tobytes()
+        assert a.dtype == np.float32 and a.shape == (n,)
+        assert 0.99 <= np.abs(a).max() <= 1.0
+        assert synth(n, seed=4).tobytes() != a.tobytes()
+        # energy is spread over time (not a single click): RMS of the
+        # quietest quarter is nonzero
+        q = a.reshape(4, -1)
+        assert min(float(np.sqrt((r ** 2).mean())) for r in q) > 1e-4
+
+
+def test_audio_experiment_end_to_end(tmp_path):
+    """`scripts/run_audio_experiment.py` (reference C9/C11 purpose on audio):
+    learn-from-audio -> encode -> R-D curves, tiny config, subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "run_audio_experiment.py",
+    )
+    out = tmp_path / "audio"
+    proc = subprocess.run(
+        [
+            sys.executable, script, "--outdir", str(out),
+            "--platform", "cpu", "--seconds", "2", "--block-size", "2048",
+            "--counts", "8,4", "--scales", "16,48", "--num-coefs", "64,24",
+            "--budget-sweep", "4,8", "--rd-blocks", "2",
+            "--learn-iterations", "2",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["encode"]["roundtrip_byte_identity"] is True
+    assert report["encode"]["compression_ratio"] > 1.0
+    assert len(report["rate_distortion"]["flat"]) == 2
+    assert len(report["rate_distortion"]["hierarchical"]) == 2
+    for fn in ("corpus.hsct", "decoded.wav", "rate_distortion.png",
+               "learned_dict.npz"):
+        assert (out / fn).exists()
