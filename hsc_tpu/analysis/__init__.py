@@ -7,6 +7,11 @@ from .rates import (
     hierarchical_rate_distortion_curve,
     visualize_rate_distortion,
 )
+from .diagnostics import (
+    level_energies,
+    coefficient_distribution,
+    visualize_level_diagnostics,
+)
 
 __all__ = [
     "bits_for_dtype",
@@ -16,4 +21,7 @@ __all__ = [
     "rate_distortion_curve",
     "hierarchical_rate_distortion_curve",
     "visualize_rate_distortion",
+    "level_energies",
+    "coefficient_distribution",
+    "visualize_level_diagnostics",
 ]

@@ -196,9 +196,24 @@ def main():
     print(f"[4/5] audio R-D sweep at top budgets {budgets}", flush=True)
 
     # 5. figures + report -----------------------------------------------------
+    from hsc_tpu.analysis import level_energies, visualize_level_diagnostics
+
     visualize_rate_distortion(
         curves, path=os.path.join(args.outdir, "rate_distortion.png")
     )
+    # distributed=True: demote singleton-chain events to their native level
+    # (the container stores top-level-only streams)
+    visualize_level_diagnostics(
+        learned, stream_blocks,
+        path=os.path.join(args.outdir, "level_diagnostics.png"),
+        distributed=True,
+    )
+    report["level_energies"] = {
+        str(l): v
+        for l, v in level_energies(
+            learned, stream_blocks, distributed=True
+        ).items()
+    }
     with open(os.path.join(args.outdir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(f"[5/5] wrote {args.outdir}/report.json", flush=True)

@@ -158,9 +158,34 @@ def main():
     print(f"[4/5] rate-distortion sweep at budgets {budgets}", flush=True)
 
     # 5. figures + report
+    from hsc_tpu.analysis import (
+        coefficient_distribution,
+        level_energies,
+        visualize_level_diagnostics,
+    )
+
     visualize_rate_distortion(
         curves, path=os.path.join(args.outdir, "rate_distortion.png")
     )
+    # distributed=True: the container stores top-level-only streams, so the
+    # per-level views demote singleton-chain events to their native level
+    visualize_level_diagnostics(
+        learned, stream_blocks,
+        path=os.path.join(args.outdir, "level_diagnostics.png"),
+        distributed=True,
+    )
+    report["level_energies"] = {
+        str(l): v
+        for l, v in level_energies(
+            learned, stream_blocks, distributed=True
+        ).items()
+    }
+    report["coefficient_distribution"] = {
+        str(l): v
+        for l, v in coefficient_distribution(
+            cfg, stream_blocks, distributed=True
+        ).items()
+    }
     with open(os.path.join(args.outdir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(f"[5/5] wrote {args.outdir}/report.json", flush=True)
