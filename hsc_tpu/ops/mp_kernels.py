@@ -98,8 +98,8 @@ def _mp_kernel(
     eres_ref,  # [B, 1] f32 SMEM
     # scratch: scores [G, K, P2] f32, colmax [G, fold, L8+CW] f32 (position-
     # folded selection caches), [prod [G, K, CW] f32 — the VMEM FMA firewall,
-    # absent under mxu_update (MXU boundary rounds) or barrier
-    # (optimization_barrier rounds)], sems (G,) DMA semaphores
+    # absent under mxu_update (the MXU boundary rounds)], sems (G,) DMA
+    # semaphores
     *scratch,
     k: int,
     w: int,
@@ -117,7 +117,7 @@ def _mp_kernel(
     sweep_batched: bool,
     uniform_w: bool,
     narrow: bool,
-    barrier: bool,
+    fit_span: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -134,7 +134,7 @@ def _mp_kernel(
     `uniform_w` specializes away the selection-weight multiplies when every
     weight is 1.
     """
-    if mxu_update or barrier:
+    if mxu_update:
         scores, colmax, sems = scratch
         prod = None
     else:
@@ -205,9 +205,9 @@ def _mp_kernel(
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
     lane_ids128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    # spans the narrow update dispatches over (128 when the +-(W-1) window
-    # fits the chunk's first lane-tile, full CW otherwise)
-    spans = (128, cw) if narrow else (cw,)
+    # spans the narrow/fit-span accept dispatches over (128 when the +-(W-1)
+    # window fits the chunk's first lane-tile, full CW otherwise)
+    spans = (128, cw) if (narrow or fit_span) else (cw,)
     lane_ids_by_span = {128: lane_ids128, cw: lane_ids}
     if mxu_update:
         # Lane-minus-row iota: `dmat == o` is the 0/1 placement matrix
@@ -240,32 +240,10 @@ def _mp_kernel(
             alive = jnp.logical_or(alive, jnp.logical_not(dones[g]))
         return jnp.logical_and(i < num_coefs, alive)
 
-    def extract_candidate(g, t):
-        """Selection + quantization for position t from the CURRENT scores:
-        the serial half of an accept.  Returns (a, o, chunk, f, s, code_f,
-        code) — `chunk` is the aligned [K, CW] window read this makes, so
-        the serial accept path can reuse it for the update."""
-        cs = t + lpad - (w - 1)
-        a = pl.multiple_of((cs // 128) * 128, 128)
-        o = cs - a
-        if narrow:
-            # Read only the 128-lane tile containing the score column
-            # (lane o + w - 1 of the CW chunk) — the extraction needs one
-            # column, so the full-chunk read is pure issue waste.  The
-            # update re-reads what it touches (apply_window_update_narrow),
-            # which is bitwise-identical: nothing wrote between the two
-            # reads of one accept.
-            j = o + (w - 1)
-            tile = j // 128
-            a1 = pl.multiple_of(a + tile * 128, 128)
-            o1 = j - tile * 128
-            chunk = None
-            read = scores[g, :, pl.ds(a1, 128)]  # [K, 128]
-            olane, ids = o1, lane_ids128
-        else:
-            chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
-            read = chunk
-            olane, ids = o + (w - 1), lane_ids
+    def _select_quantize(g, read, olane, span):
+        """Selection + quantization from an already-read [K, span] window
+        whose lane `olane` holds the candidate position's score column."""
+        ids = lane_ids_by_span[span]
         if mxu_extract:
             # One-hot x f32 matmul at HIGHEST precision is an EXACT
             # passthrough: 1.0 is exact in bf16, the f32 operand's 3-way
@@ -300,6 +278,33 @@ def _mp_kernel(
         r = jnp.floor(jnp.abs(y) + jnp.float32(0.5)) * jnp.sign(y)
         code_f = jnp.clip(r, -jnp.float32(maxcode), jnp.float32(maxcode))
         code = code_f.astype(jnp.int32)
+        return f, s, code_f, code
+
+    def extract_candidate(g, t):
+        """Selection + quantization for position t from the CURRENT scores:
+        the serial half of an accept.  Returns (a, o, chunk, f, s, code_f,
+        code) — `chunk` is the aligned [K, CW] window read this makes, so
+        the serial accept path can reuse it for the update."""
+        cs = t + lpad - (w - 1)
+        a = pl.multiple_of((cs // 128) * 128, 128)
+        o = cs - a
+        if narrow:
+            # Read only the 128-lane tile containing the score column
+            # (lane o + w - 1 of the CW chunk) — the extraction needs one
+            # column, so the full-chunk read is pure issue waste.  The
+            # update re-reads what it touches (apply_window_update_narrow),
+            # which is bitwise-identical: nothing wrote between the two
+            # reads of one accept.
+            j = o + (w - 1)
+            tile = j // 128
+            a1 = pl.multiple_of(a + tile * 128, 128)
+            o1 = j - tile * 128
+            chunk = None
+            read = scores[g, :, pl.ds(a1, 128)]  # [K, 128]
+            f, s, code_f, code = _select_quantize(g, read, o1, 128)
+        else:
+            chunk = scores[g, :, pl.ds(a, cw)]  # [K, CW]
+            f, s, code_f, code = _select_quantize(g, chunk, o + (w - 1), cw)
         return a, o, chunk, f, s, code_f, code
 
     def process_candidate(g, t, extra_ok, guard_last_t, done, e_res, count):
@@ -310,6 +315,10 @@ def _mp_kernel(
         position this sweep (-1 = none) for the 2W-1 interference guard, or
         None for single-select.  Returns (emit, done, e_res, count, t).
         """
+        if fit_span:
+            return _process_candidate_fit(
+                g, t, extra_ok, guard_last_t, done, e_res, count
+            )
         a, o, chunk, f, s, code_f, code = extract_candidate(g, t)
         emit = jnp.logical_and(jnp.logical_not(done), code != 0)
         emit = jnp.logical_and(emit, extra_ok)
@@ -336,6 +345,61 @@ def _mp_kernel(
 
         snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
         return emit, snr_hit, new_e, new_count
+
+    def _process_candidate_fit(g, t, extra_ok, guard_last_t, done, e_res,
+                               count):
+        """Whole-accept span specialization (HSC_TPU_KERNEL_NARROW=fit): the
+        serial accept — extraction read, quantization, RMW, cache refresh —
+        runs entirely on the [K, 128] first lane-tile whenever the +-(W-1)
+        window fits it (o + 2W-1 <= 128: ~(130-2W)/128 of uniformly-placed
+        accepts), falling back to the wide [K, CW] form otherwise.  Unlike
+        `narrow` (which re-reads per span and loses the serial path's
+        extraction-chunk reuse — measured 18% SLOWER serial), both branches
+        here read their window exactly ONCE and reuse it for the update, so
+        the fitting branch halves the accept's chunk traffic at CW=256 with
+        nothing re-read.  `lax.cond` carries the scalar results out of the
+        branches (Mosaic lowers cond-with-results to scf.IfOp).
+
+        Bitwise-exact vs the wide form: the masked column extraction zeroes
+        the same non-column lanes, the windowed RMW arithmetic is per-lane
+        identical on the lanes it touches and touches no lane outside the
+        window, and the colmax refresh over the untouched tail lanes is
+        idempotent (max has no rounding)."""
+        cs = t + lpad - (w - 1)
+        a = pl.multiple_of((cs // 128) * 128, 128)
+        o = cs - a
+
+        def accept(span):
+            chunk = scores[g, :, pl.ds(a, span)]
+            f, s, code_f, code = _select_quantize(
+                g, chunk, o + (w - 1), span
+            )
+            emit = jnp.logical_and(jnp.logical_not(done), code != 0)
+            emit = jnp.logical_and(emit, extra_ok)
+            if guard_last_t is not None:
+                guard_ok = jnp.logical_or(
+                    guard_last_t < 0, t - guard_last_t >= 2 * w - 1
+                )
+                emit = jnp.logical_and(emit, guard_ok)
+            c_hat = jnp.where(emit, code_f * scales[g], jnp.float32(0))
+
+            @pl.when(emit)
+            def _():
+                pos_ref[base + g, count] = t
+                atom_ref[base + g, count] = f
+                code_ref[base + g, count] = code
+
+            new_count = count + emit.astype(jnp.int32)
+            e_step = jnp.float32(2.0) * c_hat * s
+            new_e = jnp.where(emit, (e_res - e_step) + c_hat * c_hat, e_res)
+            gram_row = gram_ref[pl.ds(f, 1), :, :][0]  # [K, lag]
+            _update_span(g, a, o, gram_row, c_hat, span, chunk)
+            snr_hit = jnp.logical_and(emit, new_e <= snr_thrs[g])
+            return emit, snr_hit, new_e, new_count
+
+        return jax.lax.cond(
+            o + lag <= 128, lambda: accept(128), lambda: accept(cw)
+        )
 
     def apply_window_update(g, a, o, f, c_hat, chunk):
         """Gram-domain windowed update + colmax cache refresh for one accept
@@ -411,18 +475,15 @@ def _mp_kernel(
                 [gram_row, jnp.zeros((k, span - lag), jnp.float32)], axis=1
             )
             u = pltpu.roll(u0, o, 1)  # no wrap: o + lag <= span
-            if barrier:
-                # HSC_TPU_KERNEL_FIREWALL=barrier: the rounding point is an
-                # optimization_barrier on the product instead of a VMEM
-                # store/load round-trip — saves 2·K·span/1024 vregs of
-                # firewall traffic per accept IF Mosaic honors the barrier
-                # as a contraction fence.  Hardware parity (pinned-oracle
-                # streams) is the authority on whether it does; interpret
-                # mode cannot distinguish the two.
-                chunk_new = chunk - jax.lax.optimization_barrier(c_hat * u)
-            else:
-                prod[g, :, :span] = c_hat * u
-                chunk_new = chunk - prod[g, :, :span]
+            # The store/load round trip is the ONLY usable rounding fence
+            # here: an optimization_barrier on the product was tried as a
+            # cheaper fence (saving 2·K·span/1024 vregs of firewall traffic
+            # per accept) and is IMPOSSIBLE on hardware — Mosaic has no
+            # lowering for the primitive inside a TC kernel
+            # (NotImplementedError: optimization_barrier; round-4 hardware
+            # run, recorded in docs/DESIGN.md).
+            prod[g, :, :span] = c_hat * u
+            chunk_new = chunk - prod[g, :, :span]
         scores[g, :, pl.ds(a, span)] = chunk_new
         _refresh_span(g, a, chunk_new, span)
 
@@ -683,15 +744,14 @@ def mp_encode_pallas(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
-    firewall_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
     Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
-    `accept_mode` / `sweep_mode` / `narrow_mode` / `firewall_mode` override
-    HSC_TPU_KERNEL_ACCEPT / _SWEEP / _NARROW / _FIREWALL (tests exercise
+    `accept_mode` / `sweep_mode` / `narrow_mode` override
+    HSC_TPU_KERNEL_ACCEPT / _SWEEP / _NARROW (tests exercise
     every combination in one process this way).
     """
     scores0, e0, peak = encode_init(xs, bank)
@@ -702,7 +762,6 @@ def mp_encode_pallas(
         singleton_weight=singleton_weight, n_raw=n_raw,
         num_select=num_select, interpret=interpret, accept_mode=accept_mode,
         sweep_mode=sweep_mode, narrow_mode=narrow_mode,
-        firewall_mode=firewall_mode,
     )
 
 
@@ -711,7 +770,6 @@ def mp_encode_pallas(
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
         "num_select", "interpret", "accept_mode", "sweep_mode", "narrow_mode",
-        "firewall_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -732,7 +790,6 @@ def _mp_pallas_stage(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
-    firewall_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -808,30 +865,29 @@ def _mp_pallas_stage(
     # one lane-tile and the window can actually fit one (lag <= 128), and
     # the fold-row blends must be in play (lpad <= l8 — the tiny-geometry
     # full-recompute path stays wide).
+    # HSC_TPU_KERNEL_NARROW=fit: whole-accept span specialization for the
+    # SERIAL paths instead — each accept branches once on whether its
+    # window fits the first 128-lane tile and runs read+update+refresh on
+    # that span with the extraction read reused (the thing plain narrow
+    # forfeits).  No effect on batched sweeps (their phases re-read by
+    # design — plain narrow is their lever).
     if narrow_mode is None:
         narrow_mode = _os.environ.get("HSC_TPU_KERNEL_NARROW", "0")
-    narrow = (
-        narrow_mode not in ("0", "", "off")
-        and cw > 128
-        and lag <= 128
-        and lpad <= l8
-    )
-    # HSC_TPU_KERNEL_FIREWALL: 'store' (default — the mul->VMEM store->load
-    # round trip is the rounding point the toolchain must honor) or
-    # 'barrier' (jax.lax.optimization_barrier on the product instead,
-    # saving the firewall scratch traffic IF Mosaic honors the barrier as a
-    # contraction fence).  Interpret mode cannot distinguish the two;
-    # scripts/check_tpu_parity.py (pinned-oracle streams on real hardware)
-    # is the authority — keep 'store' the default unless a hardware parity
-    # run with barrier enabled has passed.  Irrelevant under mxu_update
-    # (the MXU boundary is already a hard rounding point — no firewall).
-    if firewall_mode is None:
-        firewall_mode = _os.environ.get("HSC_TPU_KERNEL_FIREWALL", "store")
-    barrier = firewall_mode == "barrier" and not mxu_update
+    span_ok = cw > 128 and lag <= 128 and lpad <= l8
+    narrow = narrow_mode not in ("0", "", "off", "fit") and span_ok
+    fit_span = narrow_mode == "fit" and span_ok
+    # Firewall form: the mul->VMEM store->load round trip is the rounding
+    # point the toolchain must honor (docs/DESIGN.md "Numerical
+    # reproducibility").  A cheaper fence via jax.lax.optimization_barrier
+    # on the product was built and is unusable: Mosaic raises
+    # NotImplementedError lowering the primitive inside a TC kernel
+    # (round-4 hardware run) — do not re-try without checking the lowering
+    # first.  mxu_update needs no firewall (the MXU boundary already
+    # rounds).
     uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
     per_block = (
         k8 * p2 + fold * (l8 + cw)
-        + (0 if (mxu_update or barrier) else k8 * cw)
+        + (0 if mxu_update else k8 * cw)
     ) * 4
     gram_bytes = k8 * k8 * lag * 4
     vmem_budget = (int(env_vmem) if env_vmem else 12) << 20
@@ -866,13 +922,13 @@ def _mp_pallas_stage(
         maxcode=maxcode, snr_factor=snr_factor, fold=fold, group=group,
         num_select=num_select, mxu_extract=mxu_extract,
         mxu_update=mxu_update, sweep_batched=sweep_batched,
-        uniform_w=uniform_w, narrow=narrow, barrier=barrier,
+        uniform_w=uniform_w, narrow=narrow, fit_span=fit_span,
     )
     scratch_shapes = [
         pltpu.VMEM((group, k8, p2), jnp.float32),
         pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
     ]
-    if not (mxu_update or barrier):
+    if not mxu_update:
         scratch_shapes.append(pltpu.VMEM((group, k8, cw), jnp.float32))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((group,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -29,10 +29,11 @@ mode = (
 )
 if os.environ.get("HSC_TPU_KERNEL_GROUP_CAP"):
     mode += ":g" + os.environ["HSC_TPU_KERNEL_GROUP_CAP"]
-if os.environ.get("HSC_TPU_KERNEL_NARROW", "0") not in ("0", "", "off"):
+_narrow_env = os.environ.get("HSC_TPU_KERNEL_NARROW", "0")
+if _narrow_env == "fit":
+    mode += ":fit"
+elif _narrow_env not in ("0", "", "off"):
     mode += ":n"
-if os.environ.get("HSC_TPU_KERNEL_FIREWALL", "store") == "barrier":
-    mode += ":f"
 cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
 mld = MultilevelDictionary.generate(cfg, seed=7)
 gen = SignalGenerator(mld, rates=2e-3)
@@ -88,8 +89,8 @@ def main():
         default="legacy,extract,update,mxu",
         help="comma list of ACCEPT[:SWEEP[:FLAGS...]] modes — flags: gN"
         " (interleave-group cap N, raising the VMEM budget as needed),"
-        " n (span-narrow updates), f (barrier firewall)."
-        "  E.g. extract:serial:f",
+        " n (span-narrow updates), fit (whole-accept fit-span)."
+        "  E.g. extract:serial:fit",
     )
     args = ap.parse_args()
     results = []
@@ -111,14 +112,11 @@ def main():
                     env.setdefault("HSC_TPU_KERNEL_VMEM_MB", "52")
             elif flag == "n":
                 env["HSC_TPU_KERNEL_NARROW"] = "1"
-            elif flag == "f":
-                # barrier firewall (optimization_barrier rounding point
-                # instead of the VMEM store/load round trip) — only
-                # meaningful for non-mxu_update accept modes
-                env["HSC_TPU_KERNEL_FIREWALL"] = "barrier"
+            elif flag == "fit":
+                env["HSC_TPU_KERNEL_NARROW"] = "fit"
             else:
                 sys.exit(f"unknown mode flag {flag!r} in {mode!r} "
-                         "(expected gN, n, or f)")
+                         "(expected gN, n, or fit)")
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,

@@ -139,26 +139,32 @@ def main():
         ok &= streams_equal(pk8n, ref8, b)
     check("pallas ns=8 span-narrow accepts == pinned oracle", ok)
 
-    # ---- 2d. barrier firewall (HSC_TPU_KERNEL_FIREWALL=barrier) ------------
-    # THE authority on whether Mosaic honors jax.lax.optimization_barrier as
-    # a mul/sub contraction fence (interpret mode cannot tell — the spec is
-    # multiply-round-subtract-round and FMA contraction would drift low bits
-    # of the residual scores, eventually flipping a selection).  Only on a
-    # pass here may the mode be documented as usable (ADVICE r3).
+    # (A 2d "barrier firewall" check lived here in round 3: an
+    # optimization_barrier as the mul/sub contraction fence instead of the
+    # VMEM store/load.  The round-4 hardware run ANSWERED it — Mosaic has no
+    # lowering for the primitive inside a TC kernel (NotImplementedError at
+    # trace time), so the mode is impossible and was removed.)
+
+    # ---- 2d. fit-span accepts (HSC_TPU_KERNEL_NARROW=fit) ------------------
+    # Whole-accept span specialization: each serial accept branches once
+    # (lax.cond) on whether its window fits the first 128-lane tile and runs
+    # read+update+refresh at that span with the extraction read reused.
+    # Interpret mode validates the arithmetic; THIS run validates the Mosaic
+    # cond-with-results lowering and the per-span VMEM scheduling.
     t0 = time.time()
-    pkbar = jax.device_get(
+    pkfit = jax.device_get(
         mp_encode_pallas(
-            xb[:4], bank, gram_t, num_coefs=512, firewall_mode="barrier",
+            xb[:4], bank, gram_t, num_coefs=512, narrow_mode="fit",
         )
     )
-    pkbar8 = jax.device_get(
+    pkfit8 = jax.device_get(
         mp_encode_pallas(
             xb[:4], bank, gram_t, num_coefs=512, num_select=8,
-            firewall_mode="barrier",
+            narrow_mode="fit",
         )
     )
-    print(f"pallas barrier-firewall encode: {time.time()-t0:.1f}s "
-          f"(incl. compile)", flush=True)
+    print(f"pallas fit-span encode: {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
     ok = True
     for b in range(4):
         ref1 = mp_encode(
@@ -169,9 +175,9 @@ def main():
             xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
             scores0=s0[b], energy0=float(e0[b]), num_select=8,
         )
-        ok &= streams_equal(pkbar, ref1, b)
-        ok &= streams_equal(pkbar8, ref8, b)
-    check("pallas barrier firewall (ns=1 + ns=8) == pinned oracle", ok)
+        ok &= streams_equal(pkfit, ref1, b)
+        ok &= streams_equal(pkfit8, ref8, b)
+    check("pallas fit-span accepts (ns=1 + ns=8) == pinned oracle", ok)
 
     # ---- 3+4. hierarchical pipeline + corpus bytes + decode ---------------
     cfg2 = make_test_config(

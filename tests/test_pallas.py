@@ -38,7 +38,7 @@ def test_pallas_matches_jax_path(mld1):
 
 @pytest.mark.parametrize("mode", ["legacy", "extract", "update", "mxu"])
 @pytest.mark.parametrize("ns", [1, "sweep"])
-@pytest.mark.parametrize("narrow", ["0", "1"])
+@pytest.mark.parametrize("narrow", ["0", "1", "fit"])
 def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
     """Every accept-path placement (VPU vs one-hot MXU extraction/update,
     HSC_TPU_KERNEL_ACCEPT) emits the identical stream — the one-hot matmuls
@@ -46,7 +46,10 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
     Covers plain greedy and multi-select sweeps, plus non-uniform selection
     weights (singleton_weight path), with and without the span-narrow
     update (HSC_TPU_KERNEL_NARROW — tile-narrow extraction reads and
-    128-lane updates whenever the window fits the chunk's first tile)."""
+    128-lane updates whenever the window fits the chunk's first tile) and
+    the whole-accept fit-span specialization (NARROW=fit — one lax.cond per
+    serial accept dispatching read+update+refresh at 128 or CW lanes with
+    the extraction read reused)."""
     gen = SignalGenerator(mld1, rates=4e-3)
     xs = gen.generate_signals(2, mld1.config.block_size, seed=93)
     bank = jnp.asarray(mld1.augmented(0))
@@ -69,41 +72,6 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
     got = mp_encode_pallas(
         xb, bank, gt, accept_mode=mode, narrow_mode=narrow, **kw
     )
-    for fld in ("positions", "atoms", "codes", "count", "scale"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
-        )
-
-
-@pytest.mark.parametrize("accept", ["legacy", "extract"])
-@pytest.mark.parametrize("ns", [1, "sweep"])
-def test_pallas_firewall_barrier_bitwise(mld1, accept, ns):
-    """HSC_TPU_KERNEL_FIREWALL=barrier replaces the product's VMEM
-    store/load round trip with jax.lax.optimization_barrier as the
-    mul->subtract rounding point.  In interpret mode both forms evaluate
-    the same two-rounding arithmetic, so streams must be bitwise identical
-    — but interpret mode CANNOT validate that Mosaic honors the barrier as
-    a contraction fence on hardware; scripts/check_tpu_parity.py with the
-    mode enabled is the authority (keep default 'store' until it passes)."""
-    gen = SignalGenerator(mld1, rates=4e-3)
-    xs = gen.generate_signals(2, mld1.config.block_size, seed=95)
-    bank = jnp.asarray(mld1.augmented(0))
-    gt = _gram_t(mld1)
-    xb = jnp.asarray(xs)[:, :, None]
-    nc = mld1.config.num_coefs[0]
-    if ns == "sweep":
-        from hsc_tpu.ops.mp_kernels import pallas_num_select_options
-
-        npos = mld1.config.num_positions(0)
-        w = mld1.config.window_sizes[0]
-        ns = max(pallas_num_select_options(npos, w))
-    kw = dict(
-        num_coefs=nc, num_select=ns, interpret=True,
-        singleton_weight=0.9, n_raw=bank.shape[0] - 2,
-        accept_mode=accept,
-    )
-    ref = mp_encode_pallas(xb, bank, gt, firewall_mode="store", **kw)
-    got = mp_encode_pallas(xb, bank, gt, firewall_mode="barrier", **kw)
     for fld in ("positions", "atoms", "codes", "count", "scale"):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
