@@ -98,8 +98,8 @@ def _mp_kernel(
     eres_ref,  # [B, 1] f32 SMEM
     # scratch: scores [G, K, P2] f32, colmax [G, fold, L8+CW] f32 (position-
     # folded selection caches), [prod [G, K, CW] f32 — the VMEM FMA firewall,
-    # absent under mxu_update (the MXU boundary rounds)], sems (G,) DMA
-    # semaphores
+    # absent under mxu_update (the MXU boundary rounds) and under
+    # bitcast_fence (registers round instead)], sems (G,) DMA semaphores
     *scratch,
     k: int,
     w: int,
@@ -118,6 +118,7 @@ def _mp_kernel(
     uniform_w: bool,
     narrow: bool,
     fit_span: bool,
+    bitcast_fence: bool,
 ):
     """One program encodes `group` blocks with their greedy loops interleaved.
 
@@ -134,7 +135,7 @@ def _mp_kernel(
     `uniform_w` specializes away the selection-weight multiplies when every
     weight is 1.
     """
-    if mxu_update:
+    if mxu_update or bitcast_fence:
         scores, colmax, sems = scratch
         prod = None
     else:
@@ -475,15 +476,31 @@ def _mp_kernel(
                 [gram_row, jnp.zeros((k, span - lag), jnp.float32)], axis=1
             )
             u = pltpu.roll(u0, o, 1)  # no wrap: o + lag <= span
-            # The store/load round trip is the ONLY usable rounding fence
-            # here: an optimization_barrier on the product was tried as a
-            # cheaper fence (saving 2·K·span/1024 vregs of firewall traffic
-            # per accept) and is IMPOSSIBLE on hardware — Mosaic has no
-            # lowering for the primitive inside a TC kernel
-            # (NotImplementedError: optimization_barrier; round-4 hardware
-            # run, recorded in docs/DESIGN.md).
-            prod[g, :, :span] = c_hat * u
-            chunk_new = chunk - prod[g, :, :span]
+            # The spec needs a rounding fence between the product and the
+            # subtract (multiply-round-subtract-round; excess-precision
+            # compilation would otherwise contract them into one FMA
+            # rounding).  jax.lax.optimization_barrier is IMPOSSIBLE here —
+            # Mosaic has no lowering for it in TC kernels
+            # (NotImplementedError; round-4 hardware run, docs/DESIGN.md
+            # rule 3).  Two usable fences:
+            if bitcast_fence:
+                # HSC_TPU_KERNEL_FENCE=bitcast: round-trip the product
+                # through int32 REGISTERS (tpu.bitcast x2) — `arith.mulf ->
+                # tpu.bitcast -> tpu.bitcast -> arith.subf` has no
+                # contractible mulf->subf edge, and costs no VMEM traffic
+                # (the vmem fence moves 2·K·span/1024 vregs per accept).
+                # Hardware parity (pinned-oracle streams) is the authority
+                # that the compiler does not fold the bitcast pair back
+                # into a contraction; interpret mode cannot tell.
+                p = pltpu.bitcast(
+                    pltpu.bitcast(c_hat * u, jnp.int32), jnp.float32
+                )
+                chunk_new = chunk - p
+            else:
+                # default: the product makes a real VMEM store/load round
+                # trip, which the compiler must honor as a rounding point.
+                prod[g, :, :span] = c_hat * u
+                chunk_new = chunk - prod[g, :, :span]
         scores[g, :, pl.ds(a, span)] = chunk_new
         _refresh_span(g, a, chunk_new, span)
 
@@ -744,14 +761,15 @@ def mp_encode_pallas(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
+    fence_mode: str | None = None,
 ) -> EncodedBlock:
     """Batched fused encode: ``xs [B, N, C]`` -> EncodedBlock (batched).
 
     Same stream contract as `mp_encode_jax` (golden-loop tested).  Two jit
     stages: `encode_init` (standalone, fusion-isolated — see its docstring),
     then one Pallas program per block running the greedy loop out of VMEM.
-    `accept_mode` / `sweep_mode` / `narrow_mode` override
-    HSC_TPU_KERNEL_ACCEPT / _SWEEP / _NARROW (tests exercise
+    `accept_mode` / `sweep_mode` / `narrow_mode` / `fence_mode` override
+    HSC_TPU_KERNEL_ACCEPT / _SWEEP / _NARROW / _FENCE (tests exercise
     every combination in one process this way).
     """
     scores0, e0, peak = encode_init(xs, bank)
@@ -762,6 +780,7 @@ def mp_encode_pallas(
         singleton_weight=singleton_weight, n_raw=n_raw,
         num_select=num_select, interpret=interpret, accept_mode=accept_mode,
         sweep_mode=sweep_mode, narrow_mode=narrow_mode,
+        fence_mode=fence_mode,
     )
 
 
@@ -770,6 +789,7 @@ def mp_encode_pallas(
     static_argnames=(
         "num_coefs", "amp_bits", "tolerance_snr", "singleton_weight", "n_raw",
         "num_select", "interpret", "accept_mode", "sweep_mode", "narrow_mode",
+        "fence_mode",
     ),
 )
 def _mp_pallas_stage(
@@ -790,6 +810,7 @@ def _mp_pallas_stage(
     accept_mode: str | None = None,
     sweep_mode: str | None = None,
     narrow_mode: str | None = None,
+    fence_mode: str | None = None,
 ) -> EncodedBlock:
     b, k, npos = scores0.shape
     _, w, _ = bank.shape
@@ -876,6 +897,15 @@ def _mp_pallas_stage(
     span_ok = cw > 128 and lag <= 128 and lpad <= l8
     narrow = narrow_mode not in ("0", "", "off", "fit") and span_ok
     fit_span = narrow_mode == "fit" and span_ok
+    # HSC_TPU_KERNEL_FENCE: 'vmem' (default — the product's rounding fence
+    # is a real VMEM store/load round trip) or 'bitcast' (tpu.bitcast pair
+    # through int32 registers — no firewall scratch, no VMEM traffic; see
+    # _update_span).  Both are spec-exact IF the compiler honors the fence;
+    # scripts/check_tpu_parity.py on hardware is the authority (interpret
+    # mode evaluates both identically).  Irrelevant under mxu_update.
+    if fence_mode is None:
+        fence_mode = _os.environ.get("HSC_TPU_KERNEL_FENCE", "vmem")
+    bitcast_fence = fence_mode == "bitcast" and not mxu_update
     # Firewall form: the mul->VMEM store->load round trip is the rounding
     # point the toolchain must honor (docs/DESIGN.md "Numerical
     # reproducibility").  A cheaper fence via jax.lax.optimization_barrier
@@ -887,7 +917,7 @@ def _mp_pallas_stage(
     uniform_w = k8 == k and (n_raw >= k or singleton_weight == 1.0)
     per_block = (
         k8 * p2 + fold * (l8 + cw)
-        + (0 if mxu_update else k8 * cw)
+        + (0 if (mxu_update or bitcast_fence) else k8 * cw)
     ) * 4
     gram_bytes = k8 * k8 * lag * 4
     vmem_budget = (int(env_vmem) if env_vmem else 12) << 20
@@ -923,12 +953,15 @@ def _mp_pallas_stage(
         num_select=num_select, mxu_extract=mxu_extract,
         mxu_update=mxu_update, sweep_batched=sweep_batched,
         uniform_w=uniform_w, narrow=narrow, fit_span=fit_span,
+        bitcast_fence=bitcast_fence,
     )
     scratch_shapes = [
         pltpu.VMEM((group, k8, p2), jnp.float32),
         pltpu.VMEM((group, fold, l8 + cw), jnp.float32),
     ]
-    if not mxu_update:
+    # MUST mirror the kernel's scratch unpack branch (`mxu_update or
+    # bitcast_fence` — the round-3 snapshot broke HEAD by divergence here)
+    if not (mxu_update or bitcast_fence):
         scratch_shapes.append(pltpu.VMEM((group, k8, cw), jnp.float32))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((group,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(

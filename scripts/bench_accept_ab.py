@@ -34,6 +34,8 @@ if _narrow_env == "fit":
     mode += ":fit"
 elif _narrow_env not in ("0", "", "off"):
     mode += ":n"
+if os.environ.get("HSC_TPU_KERNEL_FENCE", "vmem") == "bitcast":
+    mode += ":bc"
 cfg = make_test_config(counts=(64,), scales=(32,), block_size=16384, num_coefs=(512,))
 mld = MultilevelDictionary.generate(cfg, seed=7)
 gen = SignalGenerator(mld, rates=2e-3)
@@ -89,8 +91,9 @@ def main():
         default="legacy,extract,update,mxu",
         help="comma list of ACCEPT[:SWEEP[:FLAGS...]] modes — flags: gN"
         " (interleave-group cap N, raising the VMEM budget as needed),"
-        " n (span-narrow updates), fit (whole-accept fit-span)."
-        "  E.g. extract:serial:fit",
+        " n (span-narrow updates), fit (whole-accept fit-span), bc"
+        " (bitcast rounding fence instead of the VMEM firewall)."
+        "  E.g. extract:serial:bc",
     )
     args = ap.parse_args()
     results = []
@@ -114,9 +117,11 @@ def main():
                 env["HSC_TPU_KERNEL_NARROW"] = "1"
             elif flag == "fit":
                 env["HSC_TPU_KERNEL_NARROW"] = "fit"
+            elif flag == "bc":
+                env["HSC_TPU_KERNEL_FENCE"] = "bitcast"
             else:
                 sys.exit(f"unknown mode flag {flag!r} in {mode!r} "
-                         "(expected gN, n, or fit)")
+                         "(expected gN, n, fit, or bc)")
         print(f"=== mode {mode} ===", file=sys.stderr, flush=True)
         p = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,

@@ -179,6 +179,40 @@ def main():
         ok &= streams_equal(pkfit8, ref8, b)
     check("pallas fit-span accepts (ns=1 + ns=8) == pinned oracle", ok)
 
+    # ---- 2e. bitcast rounding fence (HSC_TPU_KERNEL_FENCE=bitcast) ---------
+    # THE authority on whether the tpu.bitcast pair through int32 registers
+    # survives as a mul/sub contraction fence on hardware (interpret mode
+    # cannot tell — if the compiler folds the pair, FMA contraction drifts
+    # low residual bits and eventually flips a selection vs these pinned
+    # streams).  Only on a pass here may the fence be flipped to default.
+    t0 = time.time()
+    pkbc = jax.device_get(
+        mp_encode_pallas(
+            xb[:4], bank, gram_t, num_coefs=512, fence_mode="bitcast",
+        )
+    )
+    pkbc8 = jax.device_get(
+        mp_encode_pallas(
+            xb[:4], bank, gram_t, num_coefs=512, num_select=8,
+            fence_mode="bitcast",
+        )
+    )
+    print(f"pallas bitcast-fence encode: {time.time()-t0:.1f}s "
+          f"(incl. compile)", flush=True)
+    ok = True
+    for b in range(4):
+        ref1 = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]),
+        )
+        ref8 = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0), num_coefs=512,
+            scores0=s0[b], energy0=float(e0[b]), num_select=8,
+        )
+        ok &= streams_equal(pkbc, ref1, b)
+        ok &= streams_equal(pkbc8, ref8, b)
+    check("pallas bitcast-fence accepts (ns=1 + ns=8) == pinned oracle", ok)
+
     # ---- 3+4. hierarchical pipeline + corpus bytes + decode ---------------
     cfg2 = make_test_config(
         counts=(32, 16), scales=(32, 96), num_coefs=(256, 128), block_size=8192

@@ -78,6 +78,41 @@ def test_pallas_accept_modes_bitwise(mld1, mode, ns, narrow):
         )
 
 
+@pytest.mark.parametrize("accept", ["legacy", "extract"])
+@pytest.mark.parametrize("ns", [1, "sweep"])
+def test_pallas_fence_modes_bitwise(mld1, accept, ns):
+    """HSC_TPU_KERNEL_FENCE=bitcast replaces the product's VMEM store/load
+    rounding fence with a tpu.bitcast pair through int32 registers.  In
+    interpret mode both fences evaluate the same two-rounding arithmetic,
+    so streams must be bitwise identical — but interpret mode CANNOT
+    validate that the compiled kernel honors the bitcast pair as a
+    contraction fence; scripts/check_tpu_parity.py check 2e on hardware is
+    the authority (keep default 'vmem' until it passes)."""
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(2, mld1.config.block_size, seed=97)
+    bank = jnp.asarray(mld1.augmented(0))
+    gt = _gram_t(mld1)
+    xb = jnp.asarray(xs)[:, :, None]
+    nc = mld1.config.num_coefs[0]
+    if ns == "sweep":
+        from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+        npos = mld1.config.num_positions(0)
+        w = mld1.config.window_sizes[0]
+        ns = max(pallas_num_select_options(npos, w))
+    kw = dict(
+        num_coefs=nc, num_select=ns, interpret=True,
+        singleton_weight=0.9, n_raw=bank.shape[0] - 2,
+        accept_mode=accept,
+    )
+    ref = mp_encode_pallas(xb, bank, gt, fence_mode="vmem", **kw)
+    got = mp_encode_pallas(xb, bank, gt, fence_mode="bitcast", **kw)
+    for fld in ("positions", "atoms", "codes", "count", "scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, fld)), np.asarray(getattr(ref, fld))
+        )
+
+
 @pytest.mark.parametrize("sweep", ["serial", "batched"])
 def test_pallas_sweep_modes_bitwise(mld1, sweep):
     """The phase-split sweep (independent candidate extractions + scalar
