@@ -367,12 +367,14 @@ def test_pallas_double_fold_sweep_matches_jax(mld1):
         np.testing.assert_array_equal(np.asarray(pk.codes[b]), np.asarray(ref.codes))
 
 
+@pytest.mark.parametrize("variant", ["1", "fit", "bc"])
 @pytest.mark.parametrize("seed", range(6))
-def test_pallas_narrow_fuzz(seed):
-    """Span-narrow accepts across random geometries (narrow vs wide kernel,
-    interpret): selections identical; codes within one quantizer step (the
-    usual interpret-mode FMA caveat — on hardware the parity script's
-    check 2c asserts bitwise streams)."""
+def test_pallas_narrow_fuzz(seed, variant):
+    """Span-narrow / fit-span / bitcast-fence accepts across random
+    geometries (each variant vs the wide kernel, interpret): selections
+    identical; codes within one quantizer step (the usual interpret-mode
+    FMA caveat — on hardware the parity script's checks 2c/2d/2e assert
+    bitwise streams)."""
     from hsc_tpu import MultilevelDictionary, make_test_config
     from hsc_tpu.ops.mp_kernels import pallas_num_select_options
 
@@ -399,8 +401,11 @@ def test_pallas_narrow_fuzz(seed):
     ref = mp_encode_pallas(
         xb, bank, gt, sweep_mode="serial", narrow_mode="0", **kw
     )
-    got = mp_encode_pallas(xb, bank, gt, narrow_mode="1", **kw)
-    msg = f"k={k} w={w} block={block} ns={ns}"
+    if variant == "bc":
+        got = mp_encode_pallas(xb, bank, gt, fence_mode="bitcast", **kw)
+    else:
+        got = mp_encode_pallas(xb, bank, gt, narrow_mode=variant, **kw)
+    msg = f"k={k} w={w} block={block} ns={ns} variant={variant}"
     np.testing.assert_array_equal(
         np.asarray(got.count), np.asarray(ref.count), err_msg=msg
     )
