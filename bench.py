@@ -213,9 +213,12 @@ def main():
     from hsc_tpu.models import HierarchicalConvolutionalSparseCoder
     from hsc_tpu.ops.pipeline import encode_hierarchical_batches_pipelined
 
+    # num_select=8: the same multi-select sweep width as the flat headline
+    # (both levels' geometries fold at 8) — the round-3 hier number was
+    # accidentally plain-greedy while flat measured ns=8 sweeps
     hcfg = make_test_config(
         counts=(32, 16), scales=(32, 96), block_size=8192,
-        num_coefs=(256, 128),
+        num_coefs=(256, 128), num_select=8,
     )
     hmld = MultilevelDictionary.generate(hcfg, seed=9)
     hgen = SignalGenerator(hmld, rates=2e-3)
