@@ -236,6 +236,31 @@ def main():
             )
     check("hierarchical device streams == pinned oracle (both levels)", ok)
 
+    # ---- 3b. hierarchical ns=8 sweeps (the bench operating point) ---------
+    # bench.py's encode_hier_mb_s runs this exact config at num_select=8
+    # (round 4); pin both levels' sweep streams — level 1 exercises the
+    # K=48 / W=65 / CW=384 multi-tile sweep geometry no flat check covers.
+    import dataclasses as _dc
+
+    cfg2s = _dc.replace(cfg2, num_select=8)
+    mld2s = MultilevelDictionary(cfg2s, [d.copy() for d in mld2.dicts])
+    coder8 = HierarchicalConvolutionalSparseCoder(mld2s)
+    t0 = time.time()
+    batch8 = coder8.encode_batch(xs2)
+    print(f"hierarchical ns=8 encode: {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+    ok = True
+    for b in range(4):
+        refs = oracle_hierarchical_pinned(xs2[b], mld2s)
+        for level in range(2):
+            d, r = batch8[b][level], refs[level]
+            ok &= (
+                np.array_equal(d.positions, r.positions)
+                and np.array_equal(d.codes, r.codes)
+                and np.float32(d.scale) == r.scale
+            )
+    check("hierarchical ns=8 sweep streams == pinned oracle", ok)
+
     blob_dev = pack_corpus(cfg2, [[(1, batch[b][1])] for b in range(4)])
     blob_ref = pack_corpus(
         cfg2, [[(1, oracle_hierarchical_pinned(xs2[b], mld2)[1])] for b in range(4)]

@@ -165,3 +165,41 @@ def test_decode_kernel_dispatch_guards(mld2, monkeypatch):
         jnp.ones((1,), jnp.float32), jnp.asarray(rep_q), n=64,
     )
     assert np.asarray(out2).shape == (1, 64, 2)
+
+
+def test_hierarchical_multi_select_matches_oracle(mld2, signal2):
+    """Hierarchical encode with num_select sweeps (bench.py's hier operating
+    point since round 4) is bitwise the pinned oracle at every level, on the
+    pallas-interpret backend — level >=1 sweeps run the multichannel
+    feature-map geometry no single-level sweep test reaches.  Hardware
+    parity check 3b pins the compiled form."""
+    import dataclasses
+
+    from hsc_tpu import MultilevelDictionary
+    from hsc_tpu.ops.mp_kernels import pallas_num_select_options
+
+    cfg = mld2.config
+    ns_common = set(
+        pallas_num_select_options(
+            cfg.num_positions(0), cfg.window_sizes[0]
+        )
+    ) & set(
+        pallas_num_select_options(
+            cfg.num_positions(1), cfg.window_sizes[1]
+        )
+    )
+    ns = max(ns_common)
+    assert ns > 1, "fixture geometry must support a common sweep width"
+    cfgs = dataclasses.replace(cfg, num_select=ns)
+    mlds = MultilevelDictionary(cfgs, [d.copy() for d in mld2.dicts])
+    coder = HierarchicalConvolutionalSparseCoder(
+        mlds, backend="pallas_interpret"
+    )
+    batch = coder.encode_batch(signal2[None, :])
+    refs = oracle_hierarchical_pinned(signal2, mlds)
+    for level in range(cfg.num_levels):
+        d, r = batch[0][level], refs[level]
+        np.testing.assert_array_equal(d.positions, r.positions)
+        np.testing.assert_array_equal(d.atoms, r.atoms)
+        np.testing.assert_array_equal(d.codes, r.codes)
+        assert np.float32(d.scale) == r.scale
