@@ -314,7 +314,7 @@ def _mp_kernel(
         `extra_ok` folds any additional acceptance conditions (multi-select
         segment validity / budget); `guard_last_t` is the last accepted
         position this sweep (-1 = none) for the 2W-1 interference guard, or
-        None for single-select.  Returns (emit, done, e_res, count, t).
+        None for single-select.  Returns (emit, snr_hit, new_e, new_count).
         """
         if fit_span:
             return _process_candidate_fit(

@@ -147,14 +147,19 @@ def synthesize_music(
                 note += a_h * env * np.sin(
                     2 * np.pi * fh * tt * phase_mod + rng.uniform(0, 2 * np.pi)
                 )
-            # attack ramp + pluck noise burst (first ~8 ms)
-            atk = int(0.004 * rate)
+            # attack ramp + pluck noise burst (first ~8 ms); both clamped to
+            # the note length — the corpus tail can truncate a note below
+            # the ramp/burst windows (unclamped, the fixed-length RHS
+            # arrays raise a broadcast ValueError)
+            atk = min(int(0.004 * rate), n)
             if atk > 1:
                 note[:atk] *= np.linspace(0, 1, atk)
-            burst = int(0.008 * rate)
-            note[:burst] += amp0 * 0.15 * rng.standard_normal(burst) * np.linspace(
-                1, 0, burst
-            )
+            burst = min(int(0.008 * rate), n)
+            if burst > 0:
+                note[:burst] += (
+                    amp0 * 0.15 * rng.standard_normal(burst)
+                    * np.linspace(1, 0, burst)
+                )
             out[t : t + n] += note
             t += dur
     peak = np.max(np.abs(out))
@@ -212,7 +217,10 @@ def synthesize_speech(
                 theta = 2 * np.pi * f_c / rate
                 sig = lfilter([1.0], [1.0, -2 * r * np.cos(theta), r * r], sig)
             env = np.ones(n)
-            ramp = max(2, int(0.01 * rate))
+            # clamp to the segment length like the fricative branch does —
+            # a tail-truncated vowel shorter than the 10 ms ramp would
+            # otherwise raise a broadcast ValueError
+            ramp = min(max(2, int(0.01 * rate)), n)
             env[:ramp] = np.linspace(0, 1, ramp)
             env[-ramp:] *= np.linspace(1, 0, ramp)
             out[t : t + n] += sig * env * rng.uniform(0.5, 1.0)

@@ -95,13 +95,15 @@ def main():
         mesh = make_mesh({"data": s}, devices=jax.devices()[:s])
         nb = s * args.blocks_per_shard
         if args.decode:
-            from hsc_tpu.parallel.dp import DataParallelDecoder
-
             hcoder = HierarchicalConvolutionalSparseCoder(mld, backend="jax")
             dpd = DataParallelDecoder(mesh, hcoder)
             streams = streams_all[:nb]
-            run = lambda: jax.block_until_ready(
-                dpd.decode_batch_device(streams)
+            # time via a device-side checksum fetch, not block_until_ready —
+            # the axon relay does not reliably block on the latter, and the
+            # scalar fetch avoids timing the D2H of the full reconstruction
+            # (CLAUDE.md "measure TPU compute throughput")
+            run = lambda: jax.device_get(
+                dpd.decode_batch_device(streams).sum()
             )
         elif args.hierarchical:
             hcoder = HierarchicalConvolutionalSparseCoder(mld, backend="jax")
@@ -120,8 +122,8 @@ def main():
         # (collectives, gather, padding), which is what the virtual mesh can
         # measure honestly.
         if args.decode:
-            local = lambda: jax.block_until_ready(
-                hcoder.reconstruct_batch_device(streams)
+            local = lambda: jax.device_get(
+                hcoder.reconstruct_batch_device(streams).sum()
             )
         elif args.hierarchical:
             local = lambda: hcoder.encode_batch(xs)

@@ -72,6 +72,22 @@ def test_synthesized_audio_reproducible_and_sane():
         assert min(float(np.sqrt((r ** 2).mean())) for r in q) > 1e-4
 
 
+def test_synthesized_audio_tail_truncation_fuzz():
+    """A note/segment truncated by the corpus end to fewer samples than its
+    attack ramp / pluck burst / vowel ramp must not crash (regression: 41 of
+    360 (seed, length) combinations raised broadcast ValueErrors before the
+    clamps).  Sweep seeds x awkward lengths on both synthesizers."""
+    from hsc_tpu.signal import synthesize_music, synthesize_speech
+
+    for synth in (synthesize_music, synthesize_speech):
+        for seed in range(16):
+            for n in (1601, 4000, 16000, 16385):
+                a = synth(n, seed=seed)
+                assert a.shape == (n,)
+                assert np.isfinite(a).all()
+                assert np.abs(a).max() <= 1.0
+
+
 def test_audio_experiment_end_to_end(tmp_path):
     """`scripts/run_audio_experiment.py` (reference C9/C11 purpose on audio):
     learn-from-audio -> encode -> R-D curves, tiny config, subprocess."""
