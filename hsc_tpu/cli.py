@@ -17,6 +17,11 @@ dictionary (learned atom waveforms) is codec state and travels as a .npz file
   # driver, SURVEY.md §3.5, as a CLI verb)
   python scripts/hsc_codec.py learn --input corpus.npy --output d.npz \\
       --counts 32,16 --scales 32,96 --learn-coefs 256,128
+
+  # assemble a container from per-process encode journals (multi-host
+  # process-0 assembly, SURVEY.md §2.3 P9; the journal dir is
+  # self-describing — no --dict needed)
+  python scripts/hsc_codec.py assemble --input journal_dir/ --output x.hsct
 """
 
 from __future__ import annotations
@@ -29,9 +34,21 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("command", choices=["encode", "decode", "info", "learn"])
-    p.add_argument("--input", required=True)
+    p.add_argument(
+        "command", choices=["encode", "decode", "info", "learn", "assemble"]
+    )
+    p.add_argument("--input", required=True,
+                   help="signal .npy/.wav (encode/learn), container .hsct "
+                   "(decode/info), or journal DIRECTORY (assemble)")
     p.add_argument("--output")
+    # -- assemble-only options (multi-host journal assembly) ----------------
+    p.add_argument("--processes", type=int, default=None,
+                   help="assemble: per-process journal count (default: "
+                   "auto-detect corpus[.pN].journal files in --input)")
+    p.add_argument("--blocks", type=int, default=None,
+                   help="assemble: total block count (default: highest "
+                   "journaled block id + 1; assembly fails listing any "
+                   "missing ids)")
     # -- learn-only options (dictionary geometry + training knobs) ----------
     p.add_argument("--counts", default=None,
                    help="learn: comma-separated atoms per level, e.g. 32,16")
@@ -133,6 +150,10 @@ def main():
 
     if args.command == "learn":
         _learn(args)
+        return
+
+    if args.command == "assemble":
+        _assemble(args)
         return
 
     if args.command == "info":
@@ -329,6 +350,67 @@ def _load_corpus_blocks(
             f"block size {block_size}"
         )
     return x
+
+
+def _assemble(args) -> None:
+    """Process-0 container assembly from per-process encode journals
+    (SURVEY.md §2.3 P9).  The journal directory is self-describing: the
+    codec config travels in ``corpus.config`` (written at journal creation,
+    enforced on resume), and each process p journals under
+    ``corpus[.pN].{journal,blocks}`` — so assembly needs no --dict and no
+    out-of-band config.  Typical multi-host flow: every host runs
+    ``encode --journal-dir SHARED_DIR`` on its shard, then any one host
+    runs ``assemble --input SHARED_DIR --output corpus.hsct``."""
+    import os
+
+    from hsc_tpu import CodecConfig
+    from hsc_tpu.io.journal import EncodeJournal
+    from hsc_tpu.runtime import _journal_name, assemble_container
+
+    jdir = args.input
+    cpath = os.path.join(jdir, "corpus.config")
+    if not os.path.isdir(jdir) or not os.path.exists(cpath):
+        raise SystemExit(
+            f"{jdir!r} is not a journal directory (no corpus.config) — "
+            "pass the --journal-dir an encode run wrote into"
+        )
+    if not args.output:
+        raise SystemExit("--output is required for assemble")
+    with open(cpath) as f:
+        stored = f.read()
+    distributed = stored.endswith(":distributed")
+    cfg = CodecConfig.from_json(
+        stored[: -len(":distributed")] if distributed else stored
+    )
+    n_proc = args.processes
+    if n_proc is None:
+        n_proc = 1
+        while os.path.exists(
+            os.path.join(jdir, f"{_journal_name(n_proc)}.journal")
+        ):
+            n_proc += 1
+    n_blocks = args.blocks
+    if n_blocks is None:
+        n_blocks = 0
+        for p_idx in range(n_proc):
+            j = EncodeJournal(jdir, name=_journal_name(p_idx))
+            try:
+                if j.done_blocks:
+                    n_blocks = max(n_blocks, max(j.done_blocks) + 1)
+            finally:
+                j.close()
+        if n_blocks == 0:
+            raise SystemExit(f"no journaled blocks found in {jdir!r}")
+    blob = assemble_container(
+        cfg, jdir, n_blocks, n_proc,
+        distributed=distributed, index=args.index,
+    )
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(
+        f"{args.output}: {len(blob)} bytes ({n_blocks} blocks from "
+        f"{n_proc} process journal(s))"
+    )
 
 
 def _learn(args) -> None:

@@ -335,3 +335,56 @@ def test_cli_mesh_encode_decode_identical(cli_fixture):
         "--output", str(d / "x.hsct"), "--platform", "cpu", "--mesh", "9",
     ], check=False)
     assert bad.returncode != 0 and "visible" in bad.stderr
+
+
+def test_cli_assemble_from_journal(cli_fixture, tmp_path):
+    """`assemble` emits a container byte-identical to the encode that wrote
+    the journal, recovering config/process-count/block-count from the
+    journal directory alone (no --dict, no out-of-band config — SURVEY.md
+    §2.3 P9 process-0 assembly as an operator command)."""
+    d = cli_fixture
+    jdir = tmp_path / "j"
+    _run([
+        "encode", "--input", str(d / "sig.npy"), "--dict", str(d / "dict.npz"),
+        "--output", str(tmp_path / "enc.hsct"), "--backend", "jax",
+        "--platform", "cpu", "--journal-dir", str(jdir),
+    ])
+    _run([
+        "assemble", "--input", str(jdir),
+        "--output", str(tmp_path / "asm.hsct"),
+    ])
+    assert (tmp_path / "asm.hsct").read_bytes() == (
+        tmp_path / "enc.hsct"
+    ).read_bytes()
+
+    # two-process journals: split the blocks between p0 and a p1 journal the
+    # way a second host would have written them, re-assemble, byte-identical
+    from hsc_tpu.io.journal import EncodeJournal
+    from hsc_tpu.runtime import _journal_name
+
+    j0 = EncodeJournal(str(jdir), name=_journal_name(0))
+    moved = sorted(j0.done_blocks)[1::2]
+    j1 = EncodeJournal(str(jdir / "split"), name=_journal_name(1))
+    j0_keep = EncodeJournal(str(jdir / "split"), name=_journal_name(0))
+    import shutil
+
+    shutil.copy(jdir / "corpus.config", jdir / "split" / "corpus.config")
+    for bid in sorted(j0.done_blocks):
+        (j1 if bid in moved else j0_keep).record(bid, j0.read(bid))
+    for j in (j0, j1, j0_keep):
+        j.close()
+    _run([
+        "assemble", "--input", str(jdir / "split"),
+        "--output", str(tmp_path / "asm2.hsct"),
+    ])
+    assert (tmp_path / "asm2.hsct").read_bytes() == (
+        tmp_path / "enc.hsct"
+    ).read_bytes()
+
+    # not a journal dir -> clean usage error
+    p = _run(
+        ["assemble", "--input", str(tmp_path), "--output",
+         str(tmp_path / "x.hsct")],
+        check=False,
+    )
+    assert p.returncode != 0 and "journal" in p.stderr
