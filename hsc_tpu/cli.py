@@ -401,10 +401,13 @@ def _assemble(args) -> None:
                 j.close()
         if n_blocks == 0:
             raise SystemExit(f"no journaled blocks found in {jdir!r}")
-    blob = assemble_container(
-        cfg, jdir, n_blocks, n_proc,
-        distributed=distributed, index=args.index,
-    )
+    try:
+        blob = assemble_container(
+            cfg, jdir, n_blocks, n_proc,
+            distributed=distributed, index=args.index,
+        )
+    except ValueError as e:  # e.g. blocks missing from every journal
+        raise SystemExit(str(e))
     with open(args.output, "wb") as f:
         f.write(blob)
     print(

@@ -388,3 +388,21 @@ def test_cli_assemble_from_journal(cli_fixture, tmp_path):
         check=False,
     )
     assert p.returncode != 0 and "journal" in p.stderr
+
+    # a block gap (a host died mid-corpus) -> clean error naming the ids
+    jgap = EncodeJournal(str(jdir / "gap"), name=_journal_name(0))
+    src = EncodeJournal(str(jdir), name=_journal_name(0))
+    ids = sorted(src.done_blocks)
+    for bid in ids:
+        if bid != ids[1]:
+            jgap.record(bid, src.read(bid))
+    jgap.close(); src.close()
+    shutil.copy(jdir / "corpus.config", jdir / "gap" / "corpus.config")
+    p = _run(
+        ["assemble", "--input", str(jdir / "gap"), "--output",
+         str(tmp_path / "g.hsct")],
+        check=False,
+    )
+    assert p.returncode != 0
+    assert "not yet encoded" in p.stderr and str(ids[1]) in p.stderr
+    assert "Traceback" not in p.stderr
