@@ -1,0 +1,136 @@
+"""Randomized HARDWARE parity fuzz: random codec geometries encoded by the
+compiled Pallas kernel on the real chip, bitwise vs the pinned NumPy oracle.
+
+The test suite fuzzes geometry in interpret mode (tests/test_fuzz.py,
+test_pallas.py), which cannot see Mosaic lowering/tiling bugs — both kernel
+corners found on hardware (K%8 sublane padding, fold==1 lpad>l8 refresh
+no-op) were invisible to interpret mode.  scripts/check_tpu_parity.py pins
+FIXED configs; this script samples NEW geometries per seed so every run
+extends hardware coverage.  Each shape costs one remote compile (1-10 min
+cold), so the default is a small number of shapes; the compilation cache
+makes repeat runs of the same --base-seed cheap.
+
+  python scripts/fuzz_tpu_parity.py --shapes 4 --base-seed 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hsc_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from hsc_tpu import (  # noqa: E402
+    MultilevelDictionary,
+    SignalGenerator,
+    make_test_config,
+)
+from hsc_tpu.ops.encode import encode_init_batched as encode_init  # noqa: E402
+from hsc_tpu.ops.mp_kernels import (  # noqa: E402
+    mp_encode_pallas,
+    pallas_num_select_options,
+)
+from hsc_tpu.oracle.mp import mp_encode  # noqa: E402
+
+
+def sample_shape(rng: np.random.Generator) -> dict:
+    """One random geometry, weighted toward the zones that have bitten:
+    non-multiple-of-8 atom counts, wide windows, short blocks, sweep folds."""
+    wide = rng.random() < 0.25
+    if wide:
+        w = int(rng.integers(130, 200))
+        block = int(rng.integers(w * 2, w * 8))
+    else:
+        w = int(rng.integers(6, 80))
+        block = int(rng.integers(max(w * 4, 512), 12288))
+    k = int(rng.integers(3, 96))
+    nc = int(rng.integers(8, 160))
+    amp_bits = int(rng.integers(8, 17))
+    tol = float(rng.uniform(4.0, 18.0)) if rng.random() < 0.3 else None
+    return dict(
+        counts=(k,), scales=(w,), block_size=block, num_coefs=(nc,),
+        amp_bits=amp_bits, tolerance_snr=tol,
+    )
+
+
+def run_shape(seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    kw = sample_shape(rng)
+    cfg = make_test_config(**kw)
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 17)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(1e-3, 1e-2)))
+    xs = gen.generate_signals(2, cfg.block_size, seed=seed)
+    bank = jnp.asarray(mld.augmented(0))
+    gram_t = jnp.asarray(
+        np.ascontiguousarray(mld.gram(0).transpose(1, 0, 2))
+    )
+    xb = jnp.asarray(xs)[:, :, None]
+    npos = cfg.num_positions(0)
+    w = cfg.window_sizes[0]
+    ns = int(rng.choice(pallas_num_select_options(npos, w)))
+
+    t0 = time.time()
+    pk = jax.device_get(
+        mp_encode_pallas(
+            xb, bank, gram_t,
+            num_coefs=cfg.num_coefs[0], amp_bits=cfg.amp_bits,
+            tolerance_snr=cfg.tolerance_snr, num_select=ns,
+            singleton_weight=0.9, n_raw=max(bank.shape[0] - 2, 1),
+        )
+    )
+    dt = time.time() - t0
+    s0, e0, _ = jax.device_get(encode_init(xb, bank))
+    ok = True
+    for b in range(2):
+        ref = mp_encode(
+            xs[b][:, None], mld.augmented(0), mld.gram(0),
+            num_coefs=cfg.num_coefs[0], amp_bits=cfg.amp_bits,
+            tolerance_snr=cfg.tolerance_snr, num_select=ns,
+            singleton_weight=0.9, n_raw=max(bank.shape[0] - 2, 1),
+            scores0=s0[b], energy0=float(e0[b]),
+        )
+        n = int(pk.count[b])
+        ok &= (
+            n == ref.positions.shape[0]
+            and np.array_equal(np.asarray(pk.positions[b][:n]), ref.positions)
+            and np.array_equal(np.asarray(pk.atoms[b][:n]), ref.atoms)
+            and np.array_equal(np.asarray(pk.codes[b][:n]), ref.codes)
+            and np.float32(pk.scale[b]) == ref.scale
+        )
+    return dict(
+        seed=seed, ok=bool(ok), compile_run_s=round(dt, 1), ns=ns,
+        k=kw["counts"][0], w=kw["scales"][0], block=kw["block_size"],
+        nc=kw["num_coefs"][0], amp_bits=kw["amp_bits"],
+        tol=kw["tolerance_snr"],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shapes", type=int, default=4)
+    ap.add_argument("--base-seed", type=int, default=0)
+    args = ap.parse_args()
+    results = []
+    for i in range(args.shapes):
+        r = run_shape(args.base_seed * 1000 + i)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    n_ok = sum(r["ok"] for r in results)
+    print(f"{n_ok}/{len(results)} shapes bitwise vs pinned oracle")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
