@@ -117,14 +117,83 @@ def run_shape(seed: int) -> dict:
     )
 
 
+def sample_hier_shape(rng: np.random.Generator) -> dict:
+    """Random 2-level geometry: level-1 windows cover several level-0
+    scales (the reference's atoms-of-atoms structure), counts include
+    non-multiple-of-8 zones (Mosaic sublane padding)."""
+    w0 = int(rng.integers(8, 48))
+    w1_factor = int(rng.integers(2, 5))
+    k0 = int(rng.integers(4, 48))
+    k1 = int(rng.integers(3, 24))
+    block = int(rng.integers(w0 * w1_factor * 8, 8192))
+    nc0 = int(rng.integers(16, 128))
+    nc1 = int(rng.integers(8, max(nc0 // 2, 9)))
+    return dict(
+        counts=(k0, k1), scales=(w0, w0 * w1_factor),
+        block_size=block, num_coefs=(nc0, nc1),
+        amp_bits=int(rng.integers(8, 17)),
+    )
+
+
+def run_hier_shape(seed: int) -> dict:
+    """Random 2-level hierarchy through the device coder (fused kernel per
+    level + int8-digit feature-map hand-off), both levels bitwise vs the
+    pinned oracle."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from pinned import oracle_hierarchical_pinned
+
+    from hsc_tpu.models import HierarchicalConvolutionalSparseCoder
+
+    rng = np.random.default_rng(seed)
+    kw = sample_hier_shape(rng)
+    cfg = make_test_config(**kw)
+    ns_common = set(
+        pallas_num_select_options(cfg.num_positions(0), cfg.window_sizes[0])
+    ) & set(
+        pallas_num_select_options(cfg.num_positions(1), cfg.window_sizes[1])
+    )
+    ns = int(rng.choice(sorted(ns_common)))
+    if ns > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_select=ns)
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 23)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 1e-2)))
+    xs = gen.generate_signals(2, cfg.block_size, seed=seed)
+    coder = HierarchicalConvolutionalSparseCoder(mld)  # pallas on TPU
+    t0 = time.time()
+    batch = coder.encode_batch(xs)
+    dt = time.time() - t0
+    ok = True
+    for b in range(2):
+        refs = oracle_hierarchical_pinned(xs[b], mld)
+        for level in range(cfg.num_levels):
+            d, r = batch[b][level], refs[level]
+            ok &= (
+                np.array_equal(np.asarray(d.positions), r.positions)
+                and np.array_equal(np.asarray(d.atoms), r.atoms)
+                and np.array_equal(np.asarray(d.codes), r.codes)
+                and np.float32(d.scale) == r.scale
+            )
+    return dict(
+        seed=seed, ok=bool(ok), compile_run_s=round(dt, 1), ns=ns,
+        counts=kw["counts"], scales=kw["scales"], block=kw["block_size"],
+        nc=kw["num_coefs"], amp_bits=kw["amp_bits"], hier=True,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--shapes", type=int, default=4)
     ap.add_argument("--base-seed", type=int, default=0)
+    ap.add_argument("--hierarchical", action="store_true",
+                    help="fuzz random 2-level hierarchies (fused kernel per "
+                    "level + feature-map hand-off) instead of single-level")
     args = ap.parse_args()
     results = []
     for i in range(args.shapes):
-        r = run_shape(args.base_seed * 1000 + i)
+        run = run_hier_shape if args.hierarchical else run_shape
+        r = run(args.base_seed * 1000 + i)
         results.append(r)
         print(json.dumps(r), flush=True)
     n_ok = sum(r["ok"] for r in results)
