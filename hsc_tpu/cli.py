@@ -86,6 +86,12 @@ def parse_args():
                    help="override the top-level coefficient budget")
     p.add_argument("--tolerance-snr", type=float, default=None,
                    help="stop encoding a block at this SNR (dB)")
+    p.add_argument("--target-bps", type=float, default=None,
+                   help="encode: constant-bitrate mode — per block, keep "
+                   "the largest greedy event prefix whose packed payload "
+                   "fits this many bits/sample (the prefix property makes "
+                   "any prefix a valid stream); --num-coefs stays the "
+                   "quality ceiling")
     p.add_argument("--decode-mode", choices=["ordered", "integer"], default=None,
                    help="reconstruction arithmetic written into the stream "
                    "header: 'ordered' (sequential float32) or 'integer' "
@@ -221,6 +227,7 @@ def main():
         metrics_path=args.metrics,
         distributed=args.distributed,
         mesh=mesh,
+        target_bps=args.target_bps,
     )
 
     if args.command == "encode":

@@ -116,6 +116,7 @@ class CorpusEncoder:
         mesh=None,
         mesh_axis: str = "data",
         distributed: bool = False,
+        target_bps: float | None = None,
     ):
         # mesh: shard encode batches over mesh_axis (data parallelism,
         # parallel/dp.py) — every level of the hierarchy runs under the mesh,
@@ -123,18 +124,35 @@ class CorpusEncoder:
         # distributed: emit the distributed representation (each event stored
         # at the level where its atom is raw — oracle.mp.to_distributed)
         # instead of the top-level-only stream.
+        # target_bps: constant-bitrate mode — per block, keep the largest
+        # greedy event PREFIX whose packed payload fits target_bps *
+        # block_size / 8 bytes (the prefix property makes any prefix a valid
+        # stream: the first k events of a budget-N encode ARE the budget-k
+        # encode).  num_coefs stays the quality ceiling; blocks cheaper than
+        # the budget are stored whole.
         self.mld = mld
         self.cfg: CodecConfig = mld.config
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
         self.batch_size = int(batch_size)
         self.distributed = bool(distributed)
+        if target_bps is not None and not target_bps > 0:
+            raise ValueError("target_bps must be positive")
+        self.target_bps = float(target_bps) if target_bps is not None else None
         self.process_index = int(process_index)
         self.journal = (
             EncodeJournal(
                 journal_dir,
                 name=_journal_name(self.process_index),
+                # CBR changes payload prefixes, so it is part of the resume
+                # fingerprint: a journal written at another rate must not be
+                # silently extended at this one
                 config_json=self.cfg.to_json()
-                + (":distributed" if self.distributed else ""),
+                + (":distributed" if self.distributed else "")
+                + (
+                    f":cbr={self.target_bps!r}"
+                    if self.target_bps is not None
+                    else ""
+                ),
             )
             if journal_dir is not None
             else None
@@ -155,7 +173,7 @@ class CorpusEncoder:
 
     # -- encode -------------------------------------------------------------
 
-    def _pack_block(self, top_stream) -> bytes:
+    def _pack_block_raw(self, top_stream) -> bytes:
         top = self.cfg.num_levels - 1
         if self.distributed and self.cfg.num_levels > 1:
             from .oracle.mp import to_distributed
@@ -165,6 +183,54 @@ class CorpusEncoder:
                 pack_stream(self.cfg, level, s) for level, s in parts
             )
         return struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream)
+
+    def _pack_block(self, top_stream) -> bytes:
+        if self.target_bps is None:
+            return self._pack_block_raw(top_stream)
+        # Constant-bitrate truncation: bisect the event-prefix length on the
+        # FULL per-block payload size (so distributed per-level headers and
+        # rice variable-length coding are charged exactly), then fix up —
+        # rice payload length is non-decreasing in the prefix up to per-event
+        # delta/parameter wobble of a few bytes, so the fix-up loop is short.
+        from .oracle.mp import LevelStream
+
+        budget = int(self.target_bps * self.cfg.block_size / 8)
+        n = int(top_stream.positions.shape[0])
+
+        def prefix(k: int):
+            if k >= n:
+                return top_stream
+            # truncated prefixes carry unknown residual energy — zeroed,
+            # matching unpacked streams (energies are never serialized)
+            return LevelStream(
+                positions=top_stream.positions[:k],
+                atoms=top_stream.atoms[:k],
+                codes=top_stream.codes[:k],
+                scale=np.float32(top_stream.scale),
+                energy0=0.0,
+                energy_res=0.0,
+            )
+
+        def size(k: int) -> int:
+            return len(self._pack_block_raw(prefix(k)))
+
+        if size(0) > budget:
+            raise ValueError(
+                f"target_bps={self.target_bps} is below the empty-stream "
+                f"floor ({size(0)} bytes/block > {budget})"
+            )
+        if size(n) <= budget:
+            return self._pack_block_raw(top_stream)
+        lo, hi = 0, n  # size(lo) <= budget < size(hi)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if size(mid) <= budget:
+                lo = mid
+            else:
+                hi = mid
+        while lo > 0 and size(lo) > budget:  # non-monotone wobble fix-up
+            lo -= 1
+        return self._pack_block_raw(prefix(lo))
 
     def _validate_blocks(self, blocks) -> np.ndarray:
         blocks = np.asarray(blocks, dtype=np.float32)

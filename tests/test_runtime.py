@@ -529,3 +529,100 @@ def test_corpus_decoder_mesh_distributed_container(mld2):
     mesh = make_mesh({"data": 8})
     sharded = CorpusEncoder(mld2, backend="jax", batch_size=2, mesh=mesh)
     assert sharded.decode(blob).tobytes() == local.decode(blob).tobytes()
+
+
+def test_corpus_encoder_target_bps(tmp_path, mld1):
+    """Constant-bitrate encode (target_bps): every block's packed payload
+    fits the per-block byte budget, the container still decodes (prefixes
+    are valid streams), rate-vs-quality moves the right way, a generous
+    budget is a byte-level no-op, and the truncated events are exactly the
+    greedy prefix of the unconstrained encode."""
+    import dataclasses
+
+    from hsc_tpu.io import iter_blocks, peek_corpus_header
+    from hsc_tpu.utils import snr_db
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(4, mld1.config.block_size, seed=77)
+
+    full = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    blob_full = full.encode(xs)
+    dec_full = full.decode(blob_full)
+
+    target = 0.4  # bits/sample, below the unconstrained rate
+    cbr = CorpusEncoder(mld1, backend="jax", batch_size=2, target_bps=target)
+    blob = cbr.encode(xs)
+    budget = int(target * mld1.config.block_size / 8)
+    cfg, n_blocks = peek_corpus_header(blob)
+    assert n_blocks == 4
+    # per-block budget respected, events are greedy prefixes of the full run
+    full_blocks = list(iter_blocks(blob_full))
+    for b, streams in enumerate(iter_blocks(blob)):
+        from hsc_tpu.io.bitstream import pack_stream
+
+        (lvl, s), = streams
+        assert 1 + len(pack_stream(cfg, lvl, s)) <= budget
+        (_, fs), = full_blocks[b]
+        k = s.positions.shape[0]
+        assert k <= fs.positions.shape[0]
+        np.testing.assert_array_equal(s.positions, fs.positions[:k])
+        np.testing.assert_array_equal(s.atoms, fs.atoms[:k])
+        np.testing.assert_array_equal(s.codes, fs.codes[:k])
+    # decodes, with graceful quality loss vs the unconstrained encode
+    dec = cbr.decode(blob)
+    assert dec.shape == dec_full.shape
+    snr_cbr = np.mean([snr_db(xs[b], dec[b]) for b in range(4)])
+    snr_full = np.mean([snr_db(xs[b], dec_full[b]) for b in range(4)])
+    assert 0 < snr_cbr < snr_full
+    assert len(blob) < len(blob_full)
+
+    # generous budget: byte-identical to the unconstrained container
+    loose = CorpusEncoder(mld1, backend="jax", batch_size=2, target_bps=64.0)
+    assert loose.encode(xs) == blob_full
+
+    # journal fingerprint: a CBR journal refuses a different rate
+    j = str(tmp_path / "cbr")
+    CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=target, journal_dir=j
+    ).encode(xs)
+    with pytest.raises(ValueError, match="different codec config"):
+        CorpusEncoder(
+            mld1, backend="jax", batch_size=2, target_bps=0.8, journal_dir=j
+        )
+
+    # below the empty-stream floor -> clean error
+    tiny = CorpusEncoder(mld1, backend="jax", batch_size=2, target_bps=1e-4)
+    with pytest.raises(ValueError, match="floor"):
+        tiny.encode(xs)
+
+
+@pytest.mark.parametrize("entropy", ["fixed", "rice"])
+def test_target_bps_hierarchical_distributed(mld2, entropy):
+    """CBR composes with rice entropy, hierarchies, and the distributed
+    representation: the budget is charged against the FULL per-block payload
+    (all level streams + headers), and containers stay decodable."""
+    import dataclasses
+
+    from hsc_tpu import MultilevelDictionary
+    from hsc_tpu.io import scan_block_offsets
+
+    cfg = dataclasses.replace(mld2.config, entropy=entropy)
+    mld = MultilevelDictionary(cfg, [d.copy() for d in mld2.dicts])
+    gen = SignalGenerator(mld, rates=[np.full(12, 4e-3), np.full(8, 1e-3)])
+    xs = gen.generate_signals(3, cfg.block_size, seed=78)
+    target = 1.0
+    budget = int(target * cfg.block_size / 8)
+    enc = CorpusEncoder(
+        mld, backend="jax", batch_size=2, distributed=True,
+        target_bps=target,
+    )
+    blob = enc.encode(xs)
+    # per-block payload (all level streams + the count byte) fits the budget
+    _, offs = scan_block_offsets(blob)
+    sizes = [int(b - a) for a, b in zip(offs, offs[1:])]
+    assert len(sizes) == 3
+    for sz in sizes:
+        assert sz <= budget
+    dec = enc.decode(blob)
+    assert dec.shape == (3, cfg.block_size)
+    assert np.isfinite(dec).all()
