@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--rd-blocks", type=int, default=4,
                    help="corpus prefix used for the (oracle-run) R-D sweep")
     p.add_argument("--entropy", choices=["fixed", "rice"], default="rice")
+    p.add_argument("--target-bps", type=float, default=None,
+                   help="constant-bitrate mode: per-block greedy-prefix "
+                   "truncation to this bits/sample budget")
     p.add_argument("--decode-mode", choices=["ordered", "integer"],
                    default="ordered")
     return p.parse_args()
@@ -146,6 +149,7 @@ def main():
     encoder = CorpusEncoder(
         learned, backend=args.backend,
         metrics_path=os.path.join(args.outdir, "metrics.jsonl"),
+        target_bps=args.target_bps,
     )
     blob = encoder.encode(corpus)
     with open(os.path.join(args.outdir, "corpus.hsct"), "wb") as f:
