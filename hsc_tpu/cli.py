@@ -368,11 +368,17 @@ def _assemble(args) -> None:
     out-of-band config.  Typical multi-host flow: every host runs
     ``encode --journal-dir SHARED_DIR`` on its shard, then any one host
     runs ``assemble --input SHARED_DIR --output corpus.hsct``."""
+    import glob
     import os
+    import re
 
     from hsc_tpu import CodecConfig
     from hsc_tpu.io.journal import EncodeJournal
-    from hsc_tpu.runtime import _journal_name, assemble_container
+    from hsc_tpu.runtime import (
+        _journal_name,
+        assemble_container,
+        parse_journal_fingerprint,
+    )
 
     jdir = args.input
     cpath = os.path.join(jdir, "corpus.config")
@@ -385,21 +391,30 @@ def _assemble(args) -> None:
         raise SystemExit("--output is required for assemble")
     with open(cpath) as f:
         stored = f.read()
-    distributed = stored.endswith(":distributed")
-    cfg = CodecConfig.from_json(
-        stored[: -len(":distributed")] if distributed else stored
-    )
-    n_proc = args.processes
-    if n_proc is None:
-        n_proc = 1
-        while os.path.exists(
-            os.path.join(jdir, f"{_journal_name(n_proc)}.journal")
-        ):
-            n_proc += 1
+    # one parser for the fingerprint (config + :distributed + :cbr=...) —
+    # runtime.journal_fingerprint is the one builder
+    config_json, distributed, target_bps = parse_journal_fingerprint(stored)
+    cfg = CodecConfig.from_json(config_json)
+    # detect per-process journals by FILE, tolerating gaps (a host that died
+    # before its first block leaves no file; its blocks surface in the
+    # missing-ids error rather than being silently skipped past)
+    idxs = []
+    for f in glob.glob(os.path.join(jdir, "corpus*.journal")):
+        base = os.path.basename(f)[: -len(".journal")]
+        if base == "corpus":
+            idxs.append(0)
+        else:
+            m = re.fullmatch(r"corpus\.p(\d+)", base)
+            if m:
+                idxs.append(int(m.group(1)))
+    if not idxs:
+        raise SystemExit(f"no journal files found in {jdir!r}")
+    n_proc = args.processes if args.processes is not None else max(idxs) + 1
     n_blocks = args.blocks
     if n_blocks is None:
         n_blocks = 0
-        for p_idx in range(n_proc):
+        for p_idx in sorted(set(idxs)):  # only EXISTING journals — never
+            # create empty files in the shared dir while probing
             j = EncodeJournal(jdir, name=_journal_name(p_idx))
             try:
                 if j.done_blocks:
@@ -412,6 +427,7 @@ def _assemble(args) -> None:
         blob = assemble_container(
             cfg, jdir, n_blocks, n_proc,
             distributed=distributed, index=args.index,
+            target_bps=target_bps,
         )
     except ValueError as e:  # e.g. blocks missing from every journal
         raise SystemExit(str(e))

@@ -35,6 +35,37 @@ def _journal_name(process_index: int) -> str:
     return "corpus" if process_index == 0 else f"corpus.p{process_index}"
 
 
+def journal_fingerprint(
+    cfg: CodecConfig, distributed: bool = False,
+    target_bps: float | None = None,
+) -> str:
+    """The journal's resume fingerprint: everything that changes journaled
+    PAYLOAD bytes beyond the codec config — the distributed representation
+    and the constant-bitrate budget.  ONE builder (and one parser below) so
+    the writers (CorpusEncoder) and the readers (assemble_container, CLI
+    `assemble`) can never diverge again — round 4's first CBR cut built the
+    suffix in __init__ only and broke both assembly paths."""
+    s = cfg.to_json()
+    if distributed:
+        s += ":distributed"
+    if target_bps is not None:
+        s += f":cbr={target_bps!r}"
+    return s
+
+
+def parse_journal_fingerprint(stored: str):
+    """Inverse of `journal_fingerprint`:
+    (config_json, distributed, target_bps)."""
+    target = None
+    if ":cbr=" in stored:
+        stored, _, t = stored.rpartition(":cbr=")
+        target = float(t)
+    distributed = stored.endswith(":distributed")
+    if distributed:
+        stored = stored[: -len(":distributed")]
+    return stored, distributed, target
+
+
 def _join_container(
     cfg: CodecConfig, records, n_blocks: int, index: bool
 ) -> bytes:
@@ -68,20 +99,26 @@ def assemble_container(
     n_processes: int,
     distributed: bool = False,
     index: bool = False,
+    target_bps: float | None = None,
 ) -> bytes:
     """Process-0 container assembly from per-process journals (SURVEY.md
     §2.3 P9: each process journals its own shard under GLOBAL block ids;
     process 0 — with all journals visible on a shared filesystem — emits the
     container in original block order regardless of completion order).
     `index=True` appends the seek-index footer from the offsets the
-    assembly already knows."""
+    assembly already knows.  Absent journal FILES (a process that never
+    wrote a block) are skipped rather than created empty in the shared
+    directory; their blocks just surface in the missing-ids error."""
     journals = [
         EncodeJournal(
             journal_dir,
             name=_journal_name(p),
-            config_json=cfg.to_json() + (":distributed" if distributed else ""),
+            config_json=journal_fingerprint(cfg, distributed, target_bps),
         )
         for p in range(n_processes)
+        if os.path.exists(
+            os.path.join(journal_dir, f"{_journal_name(p)}.journal")
+        )
     ]
     try:
         owner: dict[int, EncodeJournal] = {}
@@ -146,12 +183,8 @@ class CorpusEncoder:
                 # CBR changes payload prefixes, so it is part of the resume
                 # fingerprint: a journal written at another rate must not be
                 # silently extended at this one
-                config_json=self.cfg.to_json()
-                + (":distributed" if self.distributed else "")
-                + (
-                    f":cbr={self.target_bps!r}"
-                    if self.target_bps is not None
-                    else ""
+                config_json=journal_fingerprint(
+                    self.cfg, self.distributed, self.target_bps
                 ),
             )
             if journal_dir is not None
@@ -184,18 +217,19 @@ class CorpusEncoder:
             )
         return struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream)
 
-    def _pack_block(self, top_stream) -> bytes:
+    def _pack_block(self, top_stream) -> tuple[bytes, int]:
+        """Pack one block -> (payload, stored event count).  Under
+        `target_bps`, constant-bitrate truncation first: bisect the
+        event-prefix length on the FULL per-block payload size (so
+        distributed per-level headers and rice variable-length coding are
+        charged exactly).  Packed blobs are memoized per probed k, so the
+        chosen prefix is never packed twice."""
+        n = int(top_stream.positions.shape[0])
         if self.target_bps is None:
-            return self._pack_block_raw(top_stream)
-        # Constant-bitrate truncation: bisect the event-prefix length on the
-        # FULL per-block payload size (so distributed per-level headers and
-        # rice variable-length coding are charged exactly), then fix up —
-        # rice payload length is non-decreasing in the prefix up to per-event
-        # delta/parameter wobble of a few bytes, so the fix-up loop is short.
+            return self._pack_block_raw(top_stream), n
         from .oracle.mp import LevelStream
 
         budget = int(self.target_bps * self.cfg.block_size / 8)
-        n = int(top_stream.positions.shape[0])
 
         def prefix(k: int):
             if k >= n:
@@ -211,8 +245,12 @@ class CorpusEncoder:
                 energy_res=0.0,
             )
 
+        blobs: dict[int, bytes] = {}
+
         def size(k: int) -> int:
-            return len(self._pack_block_raw(prefix(k)))
+            if k not in blobs:
+                blobs[k] = self._pack_block_raw(prefix(k))
+            return len(blobs[k])
 
         if size(0) > budget:
             raise ValueError(
@@ -220,17 +258,21 @@ class CorpusEncoder:
                 f"floor ({size(0)} bytes/block > {budget})"
             )
         if size(n) <= budget:
-            return self._pack_block_raw(top_stream)
-        lo, hi = 0, n  # size(lo) <= budget < size(hi)
+            return blobs[n], n
+        lo, hi = 0, n  # invariant: size(lo) <= budget < size(hi)
         while hi - lo > 1:
             mid = (lo + hi) // 2
             if size(mid) <= budget:
                 lo = mid
             else:
                 hi = mid
-        while lo > 0 and size(lo) > budget:  # non-monotone wobble fix-up
-            lo -= 1
-        return self._pack_block_raw(prefix(lo))
+        # rice sizes can wobble a few bytes per event (delta re-sort,
+        # exhaustive-k parameter), so the bisection may converge below the
+        # largest feasible prefix; scan upward while the budget still holds
+        # (one extra probe in the monotone common case)
+        while lo + 1 < n and size(lo + 1) <= budget:
+            lo += 1
+        return blobs[lo], lo
 
     def _validate_blocks(self, blocks) -> np.ndarray:
         blocks = np.asarray(blocks, dtype=np.float32)
@@ -266,11 +308,15 @@ class CorpusEncoder:
                 energy0=float(enc.energy0[j]),
                 energy_res=float(enc.energy_res[j]),
             )
-            payload = self._pack_block(stream)
+            payload, kept = self._pack_block(stream)
             payloads[bid] = payload
             total_bytes += len(payload)
-            events += n
-            snrs.append(stream.snr_db())
+            # metrics count STORED events; the encoder-tracked SNR belongs
+            # to the full encode, so a CBR-truncated block's quality is
+            # unknown here (NaN — filtered from the mean) rather than
+            # overstated next to the truncated rate
+            events += kept
+            snrs.append(stream.snr_db() if kept == n else float("nan"))
             if self.journal:
                 self.journal.record(bid + offset, payload)
         return events, total_bytes, snrs
@@ -426,6 +472,7 @@ class CorpusEncoder:
                 n_global,
                 n_proc,
                 distributed=self.distributed,
+                target_bps=self.target_bps,
             )
         return None
 

@@ -406,3 +406,25 @@ def test_cli_assemble_from_journal(cli_fixture, tmp_path):
     assert p.returncode != 0
     assert "not yet encoded" in p.stderr and str(ids[1]) in p.stderr
     assert "Traceback" not in p.stderr
+
+
+def test_cli_assemble_cbr_journal(cli_fixture, tmp_path):
+    """`assemble` understands journals written under --target-bps (the
+    :cbr= fingerprint suffix — regression: the first CBR cut broke both
+    assembly paths with a JSONDecodeError) and reproduces the CBR encode's
+    container byte-for-byte, including combined with --distributed."""
+    d = cli_fixture
+    jdir = tmp_path / "jc"
+    _run([
+        "encode", "--input", str(d / "sig.npy"), "--dict", str(d / "dict.npz"),
+        "--output", str(tmp_path / "cbr.hsct"), "--backend", "jax",
+        "--platform", "cpu", "--journal-dir", str(jdir),
+        "--target-bps", "0.5",
+    ])
+    _run([
+        "assemble", "--input", str(jdir),
+        "--output", str(tmp_path / "cbr_asm.hsct"),
+    ])
+    assert (tmp_path / "cbr_asm.hsct").read_bytes() == (
+        tmp_path / "cbr.hsct"
+    ).read_bytes()

@@ -626,3 +626,38 @@ def test_target_bps_hierarchical_distributed(mld2, entropy):
     dec = enc.decode(blob)
     assert dec.shape == (3, cfg.block_size)
     assert np.isfinite(dec).all()
+
+
+def test_multihost_assembly_with_target_bps(tmp_path, mld1):
+    """assemble_container matches the CBR journal fingerprint (regression:
+    the :cbr= suffix was built only by CorpusEncoder, so multihost CBR
+    assembly rejected its own journals) and skips absent journal FILES
+    without creating empties in the shared dir."""
+    import os
+
+    from hsc_tpu.runtime import _journal_name, assemble_container
+
+    gen = SignalGenerator(mld1, rates=4e-3)
+    xs = gen.generate_signals(4, mld1.config.block_size, seed=79)
+    jdir = str(tmp_path / "mh")
+    for p, sl in ((0, slice(0, 2)), (1, slice(2, 4))):
+        enc = CorpusEncoder(
+            mld1, backend="jax", batch_size=2, journal_dir=jdir,
+            process_index=p, target_bps=0.5,
+        )
+        enc.encode_shard(xs[sl], global_start=2 * p)
+    ref = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=0.5
+    ).encode(xs)
+    out = assemble_container(
+        mld1.config, jdir, 4, 2, target_bps=0.5
+    )
+    assert out == ref
+
+    # absent journal file (process that never wrote): skipped, not created;
+    # its blocks show up in the missing-ids error
+    with pytest.raises(ValueError, match="not yet encoded"):
+        assemble_container(mld1.config, jdir, 6, 3, target_bps=0.5)
+    assert not os.path.exists(
+        os.path.join(jdir, f"{_journal_name(2)}.journal")
+    )
