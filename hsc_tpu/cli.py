@@ -370,7 +370,6 @@ def _assemble(args) -> None:
     runs ``assemble --input SHARED_DIR --output corpus.hsct``."""
     import glob
     import os
-    import re
 
     from hsc_tpu import CodecConfig
     from hsc_tpu.io.journal import EncodeJournal
@@ -378,13 +377,22 @@ def _assemble(args) -> None:
         _journal_name,
         assemble_container,
         parse_journal_fingerprint,
+        parse_journal_name,
     )
 
     jdir = args.input
-    cpath = os.path.join(jdir, "corpus.config")
-    if not os.path.isdir(jdir) or not os.path.exists(cpath):
+    # any process's .config carries the identical fingerprint — fall back
+    # past corpus.config so a host-0 crash before its first block (no p0
+    # files at all) still assembles the surviving journals
+    cpaths = [os.path.join(jdir, "corpus.config")] + sorted(
+        glob.glob(os.path.join(jdir, "corpus.p*.config"))
+    )
+    cpath = next(
+        (p for p in cpaths if os.path.exists(p)), None
+    ) if os.path.isdir(jdir) else None
+    if cpath is None:
         raise SystemExit(
-            f"{jdir!r} is not a journal directory (no corpus.config) — "
+            f"{jdir!r} is not a journal directory (no corpus[.pN].config) — "
             "pass the --journal-dir an encode run wrote into"
         )
     if not args.output:
@@ -400,13 +408,9 @@ def _assemble(args) -> None:
     # missing-ids error rather than being silently skipped past)
     idxs = []
     for f in glob.glob(os.path.join(jdir, "corpus*.journal")):
-        base = os.path.basename(f)[: -len(".journal")]
-        if base == "corpus":
-            idxs.append(0)
-        else:
-            m = re.fullmatch(r"corpus\.p(\d+)", base)
-            if m:
-                idxs.append(int(m.group(1)))
+        idx = parse_journal_name(os.path.basename(f)[: -len(".journal")])
+        if idx is not None:
+            idxs.append(idx)
     if not idxs:
         raise SystemExit(f"no journal files found in {jdir!r}")
     n_proc = args.processes if args.processes is not None else max(idxs) + 1

@@ -9,6 +9,7 @@ metrics JSONL, and in-order container assembly.
 from __future__ import annotations
 
 import os
+import re
 import struct
 import time
 
@@ -35,6 +36,16 @@ def _journal_name(process_index: int) -> str:
     return "corpus" if process_index == 0 else f"corpus.p{process_index}"
 
 
+def parse_journal_name(base: str) -> int | None:
+    """Inverse of `_journal_name` (kept adjacent so the naming scheme has
+    exactly one builder/parser pair): 'corpus' -> 0, 'corpus.pN' -> N,
+    anything else -> None."""
+    if base == "corpus":
+        return 0
+    m = re.fullmatch(r"corpus\.p(\d+)", base)
+    return int(m.group(1)) if m else None
+
+
 def journal_fingerprint(
     cfg: CodecConfig, distributed: bool = False,
     target_bps: float | None = None,
@@ -49,7 +60,9 @@ def journal_fingerprint(
     if distributed:
         s += ":distributed"
     if target_bps is not None:
-        s += f":cbr={target_bps!r}"
+        # normalize here, not at call sites: an int-typed rate (natural for
+        # whole-number bps) must fingerprint identically to its float form
+        s += f":cbr={float(target_bps)!r}"
     return s
 
 
@@ -333,8 +346,12 @@ class CorpusEncoder:
                 "mb_per_s": nblk * self.cfg.block_size * 4 / 1e6 / max(dt, 1e-9),
                 "events": events,
                 "coefs_per_sample": events / max(nblk * self.cfg.block_size, 1),
-                "mean_snr_db": float(
-                    np.mean([v for v in snrs if np.isfinite(v)] or [0])
+                # null (not a fabricated 0 dB) when no block has a known
+                # SNR — e.g. every block CBR-truncated
+                "mean_snr_db": (
+                    float(np.mean(finite))
+                    if (finite := [v for v in snrs if np.isfinite(v)])
+                    else None
                 ),
                 "bits_per_sample": 8.0 * total_bytes
                 / max(nblk * self.cfg.block_size, 1),

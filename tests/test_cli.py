@@ -412,7 +412,12 @@ def test_cli_assemble_cbr_journal(cli_fixture, tmp_path):
     """`assemble` understands journals written under --target-bps (the
     :cbr= fingerprint suffix — regression: the first CBR cut broke both
     assembly paths with a JSONDecodeError) and reproduces the CBR encode's
-    container byte-for-byte, including combined with --distributed."""
+    container byte-for-byte, including combined with --distributed (the
+    suffixes stack: :distributed then :cbr=; the parser strips in reverse),
+    and including when process 0's files are absent (config falls back to
+    any corpus.pN.config)."""
+    import shutil
+
     d = cli_fixture
     jdir = tmp_path / "jc"
     _run([
@@ -428,3 +433,39 @@ def test_cli_assemble_cbr_journal(cli_fixture, tmp_path):
     assert (tmp_path / "cbr_asm.hsct").read_bytes() == (
         tmp_path / "cbr.hsct"
     ).read_bytes()
+
+    # distributed + CBR: both fingerprint suffixes through the CLI path.
+    # mld1 is single-level, so --distributed is a passthrough for streams
+    # but DOES land in the fingerprint — exactly the parsing under test.
+    jdir2 = tmp_path / "jcd"
+    _run([
+        "encode", "--input", str(d / "sig.npy"), "--dict", str(d / "dict.npz"),
+        "--output", str(tmp_path / "cbrd.hsct"), "--backend", "jax",
+        "--platform", "cpu", "--journal-dir", str(jdir2),
+        "--target-bps", "0.5", "--distributed",
+    ])
+    _run([
+        "assemble", "--input", str(jdir2),
+        "--output", str(tmp_path / "cbrd_asm.hsct"),
+    ])
+    assert (tmp_path / "cbrd_asm.hsct").read_bytes() == (
+        tmp_path / "cbrd.hsct"
+    ).read_bytes()
+
+    # p0 files absent (host 0 never wrote anything — every block journaled
+    # by p1): the config falls back to the surviving corpus.p1.config and
+    # assembly still reproduces the container byte-for-byte
+    jdir3 = tmp_path / "jp0"
+    jdir3.mkdir()
+    for f in jdir2.iterdir():
+        shutil.copy(f, jdir3 / f.name.replace("corpus.", "corpus.p1.", 1))
+    _run([
+        "assemble", "--input", str(jdir3),
+        "--output", str(tmp_path / "p0.hsct"),
+    ])
+    assert (tmp_path / "p0.hsct").read_bytes() == (
+        tmp_path / "cbrd.hsct"
+    ).read_bytes()
+    # p0's journal/blocks/config must NOT have been fabricated by probing
+    assert not (jdir3 / "corpus.journal").exists()
+    assert not (jdir3 / "corpus.config").exists()

@@ -537,8 +537,6 @@ def test_corpus_encoder_target_bps(tmp_path, mld1):
     are valid streams), rate-vs-quality moves the right way, a generous
     budget is a byte-level no-op, and the truncated events are exactly the
     greedy prefix of the unconstrained encode."""
-    import dataclasses
-
     from hsc_tpu.io import iter_blocks, peek_corpus_header
     from hsc_tpu.utils import snr_db
 
