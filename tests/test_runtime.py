@@ -659,3 +659,33 @@ def test_multihost_assembly_with_target_bps(tmp_path, mld1):
     assert not os.path.exists(
         os.path.join(jdir, f"{_journal_name(2)}.journal")
     )
+
+
+def test_journal_fingerprint_roundtrip(mld1):
+    """The one builder/parser pair for the journal resume fingerprint:
+    round trip over every flag combination, and int-typed rates fingerprint
+    identically to their float form (regression: an int target_bps built a
+    mismatching fingerprint and assembly rejected valid journals)."""
+    from hsc_tpu.runtime import (
+        journal_fingerprint,
+        parse_journal_fingerprint,
+        parse_journal_name,
+        _journal_name,
+    )
+
+    cfg = mld1.config
+    for distributed in (False, True):
+        for bps in (None, 0.5, 1, 1.0):
+            fp = journal_fingerprint(cfg, distributed, bps)
+            cj, d2, t2 = parse_journal_fingerprint(fp)
+            assert cj == cfg.to_json()
+            assert d2 == distributed
+            assert t2 == (None if bps is None else float(bps))
+    assert journal_fingerprint(cfg, True, 1) == journal_fingerprint(
+        cfg, True, 1.0
+    )
+    # name scheme: builder/parser adjacency
+    for p in (0, 1, 7, 23):
+        assert parse_journal_name(_journal_name(p)) == p
+    assert parse_journal_name("corpus.pX") is None
+    assert parse_journal_name("other") is None
