@@ -417,21 +417,25 @@ def _assemble(args) -> None:
     n_blocks = args.blocks
     if n_blocks is None:
         n_blocks = 0
-        for p_idx in sorted(set(idxs)):  # only EXISTING journals — never
-            # create empty files in the shared dir while probing
-            j = EncodeJournal(jdir, name=_journal_name(p_idx))
-            try:
-                if j.done_blocks:
-                    n_blocks = max(n_blocks, max(j.done_blocks) + 1)
-            finally:
-                j.close()
+        for p_idx in sorted(set(idxs)):
+            # read-only probe: never creates or repairs files in the shared
+            # dir (the EncodeJournal constructor opens append handles, which
+            # would create a missing .blocks companion)
+            done = EncodeJournal.peek_done_blocks(
+                jdir, name=_journal_name(p_idx)
+            )
+            if done:
+                n_blocks = max(n_blocks, max(done) + 1)
         if n_blocks == 0:
             raise SystemExit(f"no journaled blocks found in {jdir!r}")
     try:
+        # the fingerprint is passed VERBATIM from the journal's .config —
+        # rebuilding it from the parsed config would reject valid journals
+        # if the JSON round trip ever stopped being byte-stable
         blob = assemble_container(
             cfg, jdir, n_blocks, n_proc,
             distributed=distributed, index=args.index,
-            target_bps=target_bps,
+            target_bps=target_bps, fingerprint=stored,
         )
     except ValueError as e:  # e.g. blocks missing from every journal
         raise SystemExit(str(e))

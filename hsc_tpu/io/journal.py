@@ -82,6 +82,35 @@ class EncodeJournal:
     def done_blocks(self) -> set[int]:
         return set(self._index)
 
+    @staticmethod
+    def peek_done_blocks(directory: str, name: str = "corpus") -> set[int]:
+        """Read-only probe of journaled block ids.
+
+        The constructor opens append handles, so probing with it CREATES a
+        missing ``.blocks`` (and journal) companion in the directory — wrong
+        for shared journal dirs that are only being inspected (CLI
+        `assemble` block-count probe).  This parses the journal file
+        directly with `_load`'s completeness filters (final line dropped
+        when torn, offsets bounded by the data file) and repairs nothing."""
+        jpath = os.path.join(directory, f"{name}.journal")
+        dpath = os.path.join(directory, f"{name}.blocks")
+        if not (os.path.exists(jpath) and os.path.exists(dpath)):
+            return set()
+        size = os.path.getsize(dpath)
+        with open(jpath, "rb") as f:
+            lines = f.read().split(b"\n")
+        if lines and lines[-1] != b"":
+            lines.pop()  # torn final line (no trailing newline)
+        done: set[int] = set()
+        for line in lines:
+            parts = line.split()
+            if len(parts) != 4:
+                continue
+            bid, off, length, _crc = (int(p) for p in parts)
+            if off + length <= size:
+                done.add(bid)
+        return done
+
     def record(self, block_id: int, payload: bytes) -> None:
         """Append one finished block (idempotent: re-recording is a no-op)."""
         if block_id in self._index:

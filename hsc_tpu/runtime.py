@@ -68,15 +68,20 @@ def journal_fingerprint(
 
 def parse_journal_fingerprint(stored: str):
     """Inverse of `journal_fingerprint`:
-    (config_json, distributed, target_bps)."""
-    target = None
-    if ":cbr=" in stored:
-        stored, _, t = stored.rpartition(":cbr=")
-        target = float(t)
-    distributed = stored.endswith(":distributed")
-    if distributed:
-        stored = stored[: -len(":distributed")]
-    return stored, distributed, target
+    (config_json, distributed, target_bps).
+
+    Anchored on the SUFFIX (the config JSON comes first and could in
+    principle grow a field containing ':cbr=' as a literal — a substring
+    test would mis-split it).  The config JSON always ends in '}', which is
+    excluded from the cbr value charset, so the suffix match can never eat
+    into the JSON."""
+    m = re.search(r"(:distributed)?(?::cbr=([^:}]+))?$", stored)
+    t = m.group(2)
+    return (
+        stored[: m.start()],
+        m.group(1) is not None,
+        float(t) if t is not None else None,
+    )
 
 
 def _join_container(
@@ -113,6 +118,7 @@ def assemble_container(
     distributed: bool = False,
     index: bool = False,
     target_bps: float | None = None,
+    fingerprint: str | None = None,
 ) -> bytes:
     """Process-0 container assembly from per-process journals (SURVEY.md
     §2.3 P9: each process journals its own shard under GLOBAL block ids;
@@ -121,12 +127,20 @@ def assemble_container(
     `index=True` appends the seek-index footer from the offsets the
     assembly already knows.  Absent journal FILES (a process that never
     wrote a block) are skipped rather than created empty in the shared
-    directory; their blocks just surface in the missing-ids error."""
+    directory; their blocks just surface in the missing-ids error.
+
+    `fingerprint`, when given, is the journal resume fingerprint to enforce
+    VERBATIM (callers that read it from a journal's .config should pass it
+    through rather than rebuilding it from the parsed config — a JSON
+    re-serialization round trip is not guaranteed byte-stable across
+    versions)."""
+    if fingerprint is None:
+        fingerprint = journal_fingerprint(cfg, distributed, target_bps)
     journals = [
         EncodeJournal(
             journal_dir,
             name=_journal_name(p),
-            config_json=journal_fingerprint(cfg, distributed, target_bps),
+            config_json=fingerprint,
         )
         for p in range(n_processes)
         if os.path.exists(

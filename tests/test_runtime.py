@@ -689,3 +689,43 @@ def test_journal_fingerprint_roundtrip(mld1):
         assert parse_journal_name(_journal_name(p)) == p
     assert parse_journal_name("corpus.pX") is None
     assert parse_journal_name("other") is None
+    # suffix anchoring: ':cbr=' / ':distributed' as LITERALS inside the
+    # config JSON must not be mis-split (the parse is anchored at the end;
+    # config JSON always ends in '}')
+    for fake_json in ('{"note":"x:cbr=2.0"}', '{"note":":distributed"}'):
+        cj, d2, t2 = parse_journal_fingerprint(fake_json)
+        assert (cj, d2, t2) == (fake_json, False, None)
+        cj, d2, t2 = parse_journal_fingerprint(fake_json + ":cbr=1.5")
+        assert (cj, d2, t2) == (fake_json, False, 1.5)
+        cj, d2, t2 = parse_journal_fingerprint(
+            fake_json + ":distributed:cbr=0.25"
+        )
+        assert (cj, d2, t2) == (fake_json, True, 0.25)
+
+
+def test_journal_peek_done_blocks_read_only(tmp_path):
+    """`EncodeJournal.peek_done_blocks` never creates files — including the
+    ADVICE scenario of a .journal present without its .blocks companion —
+    and matches the constructor's index for a healthy journal."""
+    import os
+
+    from hsc_tpu.io.journal import EncodeJournal
+
+    jdir = str(tmp_path)
+    # healthy journal: probe matches the loaded index
+    j = EncodeJournal(jdir, name="corpus")
+    j.record(0, b"abc")
+    j.record(5, b"defg")
+    j.close()
+    assert EncodeJournal.peek_done_blocks(jdir, "corpus") == {0, 5}
+    # orphan .journal (no .blocks): probe returns empty and creates NOTHING
+    jpath = os.path.join(jdir, "corpus.p1.journal")
+    with open(jpath, "w") as f:
+        f.write("0 0 3 123\n")
+    before = sorted(os.listdir(jdir))
+    assert EncodeJournal.peek_done_blocks(jdir, "corpus.p1") == set()
+    assert sorted(os.listdir(jdir)) == before
+    # torn final line (no trailing newline) is ignored, earlier lines kept
+    with open(os.path.join(jdir, "corpus.journal"), "ab") as f:
+        f.write(b"7 0 1 99")  # torn: no newline
+    assert EncodeJournal.peek_done_blocks(jdir, "corpus") == {0, 5}
