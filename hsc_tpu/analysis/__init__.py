@@ -5,6 +5,7 @@ from .rates import (
     multilevel_information_rates,
     rate_distortion_curve,
     hierarchical_rate_distortion_curve,
+    decode_mode_fidelity,
     visualize_rate_distortion,
 )
 from .diagnostics import (
@@ -20,6 +21,7 @@ __all__ = [
     "multilevel_information_rates",
     "rate_distortion_curve",
     "hierarchical_rate_distortion_curve",
+    "decode_mode_fidelity",
     "visualize_rate_distortion",
     "level_energies",
     "coefficient_distribution",

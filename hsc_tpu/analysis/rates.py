@@ -233,6 +233,71 @@ def hierarchical_rate_distortion_curve(
     return out
 
 
+def decode_mode_fidelity(
+    mld,
+    xs: np.ndarray,
+    rep_bits_list: tuple[int, ...] = (6, 8, 10, 12),
+) -> list[dict]:
+    """SNR cost of decode_mode='integer' vs 'ordered' at a sweep of
+    `rep_bits` — the decode-mode decision table.
+
+    The two modes read the SAME stream bytes (decode_mode is a header field;
+    the payload is identical), so the rate axis is unchanged and the entire
+    cost of the 20-28x-faster integer decoder is reconstruction SNR: integer
+    mode quantizes the atom representations to rep_bits
+    (`oracle.mp.rep_quantize`) before the order-free exact-integer
+    overlap-add.  Rows:
+
+      {"mode": "ordered", "snr_db": s}                       — the v1 surface
+      {"mode": "integer", "rep_bits": r, "snr_db": s,
+       "delta_db": s - ordered_snr,                          — cost vs ordered
+       "vs_ordered_db": SNR of integer recon vs ordered recon}
+
+    Runs the NumPy oracle (the spec); device decoders are byte-identical to
+    it, so the table transfers.  Encodes each block once at the top level and
+    reuses the stream across every row (the modes differ only in decode).
+    """
+    from ..oracle import hierarchical_encode
+    from ..oracle.mp import hierarchical_decode, mp_decode_integer, rep_quantize
+
+    cfg = mld.config
+    top = cfg.num_levels - 1
+    xs = np.asarray(xs, dtype=np.float32)
+    streams = [hierarchical_encode(x, mld)[top] for x in xs]
+    ref = xs.astype(np.float64)
+    e_sig = float(np.sum(ref * ref)) or 1e-20
+
+    def snr(num: float, den: float) -> float:
+        return 10.0 * math.log10(max(num, 1e-20) / max(den, 1e-20))
+
+    ordered = np.stack(
+        [hierarchical_decode(s, mld) for s in streams]
+    ).astype(np.float64)
+    e_ord = float(np.sum(np.square(ref - ordered)))
+    out = [{"mode": "ordered", "snr_db": round(snr(e_sig, e_ord), 3)}]
+    reps = mld.representations(top)[:, :, None]
+    for rb in rep_bits_list:
+        rep_q, step = rep_quantize(reps, int(rb))
+        rec = np.stack(
+            [
+                mp_decode_integer(s, rep_q, step, cfg.block_size)[:, 0]
+                for s in streams
+            ]
+        ).astype(np.float64)
+        e_int = float(np.sum(np.square(ref - rec)))
+        e_ord_sum = float(np.sum(ordered * ordered)) or 1e-20
+        e_vs = float(np.sum(np.square(ordered - rec)))
+        row = {
+            "mode": "integer",
+            "rep_bits": int(rb),
+            "snr_db": round(snr(e_sig, e_int), 3),
+            "delta_db": round(snr(e_sig, e_int) - snr(e_sig, e_ord), 3),
+            "vs_ordered_db": round(snr(e_ord_sum, e_vs), 2),
+        }
+        out.append(row)
+    return out
+
+
 def visualize_rate_distortion(curves: dict[str, list[tuple[float, float]]], path=None):
     """Plot SNR-vs-rate curves (reference: `hsc/analysis.py :: visualize*`)."""
     import matplotlib

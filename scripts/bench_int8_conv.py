@@ -1,0 +1,166 @@
+"""Micro-benchmark: candidate formulations for the level>=1 init conv.
+
+The flagship hierarchical breakdown (bench_hier_stages.py) measured the
+level-1 init correlation — a [B, npos, C=64] x [K=96, W=65, C] conv at
+f32-HIGHEST — at 47.4 ms/batch, 63% of the whole 2-level encode.  The
+level's input is an EXACT INTEGER map (the quantized feature-map hand-off),
+so the conv can be respecified as exact int8 digit-plane products
+accumulated in int32 on the MXU (2x the bf16 MAC rate, and bitwise
+deterministic across backends).  This measures the candidates before any
+spec change:
+
+  f32_highest   — the current spec arithmetic (3-digit bf16 emulation)
+  f32_default   — one bf16 pass (NOT spec; the per-pass floor)
+  int8_conv_x6  — six separate int8 plane convs (3 M-digits x 2 bank-digits)
+  int8_conv2d   — ONE fused 2-D int8 conv with the digit index as a spatial
+                  axis (full padding), emitting the four recombination
+                  planes T_s = sum_{j+p=s} P_jp directly
+
+Usage: python scripts/bench_int8_conv.py [--platform cpu|tpu] [--repeats 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--nb1", type=int, default=2)
+    ap.add_argument("--nb2", type=int, default=6)
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from hsc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    on_tpu = jax.default_backend() != "cpu"
+    B, N, C, K, W = (64, 16353, 64, 96, 65) if on_tpu else (2, 512, 8, 12, 17)
+    npos = N - W + 1
+    rng = np.random.default_rng(0)
+    # exact-integer feature map (3 balanced int8 digit planes) + f32 bank
+    m = rng.integers(-(1 << 23), 1 << 23, size=(B, N, C), dtype=np.int32)
+    bank = rng.standard_normal((K, W, C)).astype(np.float32)
+
+    d0 = ((m + 128) & 255) - 128
+    r1 = (m - d0) >> 8
+    d1 = ((r1 + 128) & 255) - 128
+    d2 = (r1 - d1) >> 8
+    digs = np.stack([d0, d1, d2], axis=-1).astype(np.int8)  # [B, N, C, 3]
+    bq = np.clip(np.rint(bank / np.abs(bank).max() * 32639), -32639, 32639
+                 ).astype(np.int32)
+    b0 = ((bq + 128) & 255) - 128
+    b1 = (bq - b0) >> 8
+    bplanes = np.stack([b0, b1], axis=-1).astype(np.int8)  # [K, W, C, 2]
+
+    x32 = jnp.asarray(m.astype(np.float32))
+    bank_d = jnp.asarray(bank)
+    digs_d = jnp.asarray(digs)
+    bp_d = jnp.asarray(bplanes)
+
+    NB1, NB2, R = args.nb1, args.nb2, args.repeats
+
+    def marginal(fn):
+        fn(NB1)
+        t1 = t2 = float("inf")
+        for _ in range(R):
+            t0 = time.perf_counter()
+            fn(NB1)
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            fn(NB2)
+            t2 = min(t2, time.perf_counter() - t0)
+        return (t2 - t1) / (NB2 - NB1) * 1e3
+
+    out = {"B": B, "N": N, "C": C, "K": K, "W": W,
+           "platform": "tpu" if on_tpu else "cpu"}
+
+    def fconv(prec):
+        @jax.jit
+        def f(x):
+            lhs = x.transpose(0, 2, 1)  # [B, C, N]
+            rhs = bank_d.transpose(0, 2, 1)  # [K, C, W]
+            return lax.conv_general_dilated(
+                lhs, rhs, (1,), "VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return f
+
+    f_hi = fconv(lax.Precision.HIGHEST)
+    f_lo = fconv(lax.Precision.DEFAULT)
+
+    def run(f, *a):
+        def go(nb):
+            outs = [f(*a) for _ in range(nb)]
+            jax.device_get(outs[-1].ravel()[0])
+        return go
+
+    out["f32_highest_ms"] = round(marginal(run(f_hi, x32)), 2)
+    out["f32_default_ms"] = round(marginal(run(f_lo, x32)), 2)
+
+    # --- six separate int8 plane convs ------------------------------------
+    @jax.jit
+    def int8_x6(digs, bp):
+        lhs = digs.transpose(0, 3, 2, 1).reshape(B * 3, C, N)  # [B*3, C, N]
+        acc = []
+        for p in range(2):
+            rhs = bp[..., p].transpose(0, 2, 1)  # [K, C, W]
+            o = lax.conv_general_dilated(
+                lhs, rhs, (1,), "VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.int32,
+            )
+            acc.append(o.reshape(B, 3, K, npos))
+        # recombine T_s = sum_{j+p=s} P_jp -> [B, 4, K, npos]
+        a, b = acc
+        t0 = a[:, 0]
+        t1 = a[:, 1] + b[:, 0]
+        t2 = a[:, 2] + b[:, 1]
+        t3 = b[:, 2]
+        return jnp.stack([t0, t1, t2, t3], 1)
+
+    out["int8_conv_x6_ms"] = round(marginal(run(int8_x6, digs_d, bp_d)), 2)
+
+    # --- one fused 2-D int8 conv over (position, digit-plane) --------------
+    @jax.jit
+    def int8_2d(digs, bp):
+        lhs = digs.transpose(0, 2, 1, 3)  # [B, C, N, 3]
+        # plane axis flipped: XLA convs are cross-correlations, but the
+        # digit recombination T_s = sum_{j+p=s} P_jp is a true convolution
+        # over the plane index
+        rhs = bp[..., ::-1].transpose(0, 2, 1, 3)  # [K, C, W, 2]
+        o = lax.conv_general_dilated(
+            lhs, rhs, (1, 1), [(0, 0), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32,
+        )
+        return o  # [B, K, npos, 4]
+
+    out["int8_conv2d_ms"] = round(marginal(run(int8_2d, digs_d, bp_d)), 2)
+
+    # correctness cross-check (tiny slice, any platform): the two int8 forms
+    # must produce identical T_s planes
+    a = np.asarray(int8_x6(digs_d, bp_d)[0]).transpose(1, 2, 0)
+    b = np.asarray(int8_2d(digs_d, bp_d)[0])
+    out["forms_identical"] = bool((a == b).all())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,7 +197,14 @@ def main():
         hier = hierarchical_rate_distortion_curve(learned, rd_corpus, budgets)
         curves[f"hierarchical ({cfg.num_levels} levels)"] = hier
         report["rate_distortion"]["hierarchical"] = hier
-    print(f"[4/5] audio R-D sweep at top budgets {budgets}", flush=True)
+    # decode-mode fidelity: the SNR cost of the 20-28x-faster integer
+    # decoder vs ordered mode, per rep_bits (same stream bytes — rate is
+    # unchanged; see analysis.decode_mode_fidelity)
+    from hsc_tpu.analysis import decode_mode_fidelity
+
+    report["decode_mode_fidelity"] = decode_mode_fidelity(learned, rd_corpus)
+    print(f"[4/5] audio R-D sweep at top budgets {budgets}; decode-mode "
+          f"fidelity: {report['decode_mode_fidelity']}", flush=True)
 
     # 5. figures + report -----------------------------------------------------
     from hsc_tpu.analysis import level_energies, visualize_level_diagnostics

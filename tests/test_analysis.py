@@ -184,3 +184,24 @@ def test_level_diagnostics_distributed_view(mld2, signal2):
     cd_a = coefficient_distribution(cfg, [split])
     cd_b = coefficient_distribution(cfg, [split], distributed=True)
     assert cd_a == cd_b
+
+
+def test_decode_mode_fidelity(mld2, signal2):
+    """The decode-mode decision table: same stream bytes, ordered row first,
+    integer rows monotone-ish in rep_bits, and the known result that the
+    SNR cost at rep_bits=12 is negligible (<0.01 dB on every corpus
+    measured — BASELINE 'decode-mode fidelity')."""
+    from hsc_tpu.analysis import decode_mode_fidelity
+
+    xs = signal2[None, :]
+    rows = decode_mode_fidelity(mld2, xs, rep_bits_list=(6, 12))
+    assert rows[0]["mode"] == "ordered"
+    ints = [r for r in rows if r["mode"] == "integer"]
+    assert [r["rep_bits"] for r in ints] == [6, 12]
+    # integer recon converges toward the ordered recon as rep_bits grows
+    assert ints[1]["vs_ordered_db"] > ints[0]["vs_ordered_db"]
+    # the headline claim the default decision rests on
+    assert abs(ints[1]["delta_db"]) < 0.01
+    # rate is untouched by decode_mode: same events either way (sanity via
+    # vs_ordered being finite — both decoders consumed the same streams)
+    assert np.isfinite(ints[0]["vs_ordered_db"])
