@@ -56,6 +56,16 @@ class CodecConfig:
         (`ops.decode.mp_decode_integer_jax`).  Requires
         ``max(num_coefs) * amp_maxcode < 2^24`` so the dense coefficient map
         stays exactly representable (enforced below).
+        The DEFAULT is 'auto', resolved at construction to 'integer' when
+        the capacity bound holds, else 'ordered' — serialized streams always
+        carry the resolved concrete mode.  Integer mode is the recommended
+        (and default) surface: it decodes 20-28x faster on TPU (1.78
+        µs/block fused kernel vs 49.7 µs/block ordered) at a measured
+        fidelity cost of 0.000 dB at rep_bits=12 on every corpus studied
+        (flagship synthetic, music, speech — integer and ordered
+        reconstructions agree at ~73 dB SNR; BASELINE.md "decode-mode
+        fidelity").  Choose 'ordered' explicitly when bit-exact v1 float
+        reconstruction is required or the budget exceeds the bound.
       rep_bits: representation quantizer width for decode_mode='integer'
         (unsigned magnitude; codes in [-(2^rep_bits - 1), 2^rep_bits - 1]).
         Max 12 so the plane-split matmuls stay exact (docs/FORMAT.md v2).
@@ -70,7 +80,7 @@ class CodecConfig:
     amp_bits: int = 16
     num_select: int = 1
     entropy: str = "fixed"
-    decode_mode: str = "ordered"
+    decode_mode: str = "auto"
     rep_bits: int = 12
 
     def __post_init__(self):
@@ -99,8 +109,19 @@ class CodecConfig:
             raise ValueError("num_select must be >= 1")
         if self.entropy not in ("fixed", "rice"):
             raise ValueError("entropy must be 'fixed' or 'rice'")
+        if self.decode_mode == "auto":
+            # resolve to the fast integer decoder whenever its exactness
+            # bound holds (measured fidelity cost: 0.000 dB at rep_bits=12 —
+            # BASELINE.md); streams always carry the resolved concrete mode
+            object.__setattr__(
+                self,
+                "decode_mode",
+                "integer"
+                if max(self.num_coefs) * self.amp_maxcode < (1 << 24)
+                else "ordered",
+            )
         if self.decode_mode not in ("ordered", "integer"):
-            raise ValueError("decode_mode must be 'ordered' or 'integer'")
+            raise ValueError("decode_mode must be 'auto', 'ordered' or 'integer'")
         if not (2 <= self.rep_bits <= 12):
             raise ValueError("rep_bits must be in [2, 12]")
         if self.decode_mode == "integer":

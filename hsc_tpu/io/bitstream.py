@@ -383,7 +383,16 @@ def _parse_corpus_header(data: bytes) -> tuple[CodecConfig, int, int]:
     if version not in SUPPORTED_VERSIONS:
         raise ValueError(f"unsupported version {version}")
     off = 4 + struct.calcsize("<BI")
-    cfg = CodecConfig.from_json(data[off : off + cfg_len].decode())
+    raw = data[off : off + cfg_len].decode()
+    import json as _json
+
+    d = _json.loads(raw)
+    if "decode_mode" not in d:
+        # container written before format v2 existed: v1 reconstruction is
+        # stream-order float32 — never let the config default (auto ->
+        # integer) reinterpret an old stream's arithmetic
+        d["decode_mode"] = "ordered"
+    cfg = CodecConfig.from_json(_json.dumps(d))
     off += cfg_len
     (n_blocks,) = struct.unpack_from("<I", data, off)
     return cfg, n_blocks, off + 4

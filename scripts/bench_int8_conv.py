@@ -114,6 +114,17 @@ def main():
     out["f32_highest_ms"] = round(marginal(run(f_hi, x32)), 2)
     out["f32_default_ms"] = round(marginal(run(f_lo, x32)), 2)
 
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+    def recombine(t0, t1, t2, t3):
+        # fixed-association f32 recombination (kept fused with the convs so
+        # the int32 plane tensors are never materialized in HBM)
+        lo = t0.astype(jnp.float32) + jnp.float32(256.0) * t1.astype(jnp.float32)
+        hi = jnp.float32(65536.0) * t2.astype(jnp.float32) + jnp.float32(
+            16777216.0
+        ) * t3.astype(jnp.float32)
+        return lo + hi
+
     # --- six separate int8 plane convs ------------------------------------
     @jax.jit
     def int8_x6(digs, bp):
@@ -127,15 +138,11 @@ def main():
                 preferred_element_type=jnp.int32,
             )
             acc.append(o.reshape(B, 3, K, npos))
-        # recombine T_s = sum_{j+p=s} P_jp -> [B, 4, K, npos]
         a, b = acc
-        t0 = a[:, 0]
-        t1 = a[:, 1] + b[:, 0]
-        t2 = a[:, 2] + b[:, 1]
-        t3 = b[:, 2]
-        return jnp.stack([t0, t1, t2, t3], 1)
+        return recombine(a[:, 0], a[:, 1] + b[:, 0], a[:, 2] + b[:, 1], b[:, 2])
 
     out["int8_conv_x6_ms"] = round(marginal(run(int8_x6, digs_d, bp_d)), 2)
+    print(json.dumps(out), file=sys.stderr, flush=True)
 
     # --- one fused 2-D int8 conv over (position, digit-plane) --------------
     @jax.jit
@@ -149,16 +156,39 @@ def main():
             lhs, rhs, (1, 1), [(0, 0), (1, 1)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.int32,
-        )
-        return o  # [B, K, npos, 4]
+        )  # [B, K, npos, 4]
+        return recombine(o[..., 0], o[..., 1], o[..., 2], o[..., 3])
 
     out["int8_conv2d_ms"] = round(marginal(run(int8_2d, digs_d, bp_d)), 2)
 
-    # correctness cross-check (tiny slice, any platform): the two int8 forms
-    # must produce identical T_s planes
-    a = np.asarray(int8_x6(digs_d, bp_d)[0]).transpose(1, 2, 0)
+    # correctness cross-check (any platform): identical recombined scores
+    a = np.asarray(int8_x6(digs_d, bp_d)[0])
     b = np.asarray(int8_2d(digs_d, bp_d)[0])
     out["forms_identical"] = bool((a == b).all())
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+    # --- FFT cross-correlation (f32): the FLOP-optimal formulation ---------
+    # scores[k,t] = sum_{u,c} x[t+u,c] b[k,u,c] = irfft(X_f . conj(B_f))
+    # Dense conv is 2 N K W C flops; FFT is ~(C+K) N log N + 8 F C K —
+    # ~22x fewer at the flagship level-1 geometry.  Accuracy is f32-FFT
+    # class (~1e-6 relative), well under the 16-bit amplitude quantizer
+    # step (~3e-5 of peak); ulps differ from the conv — per-backend init
+    # determinism is unchanged (the oracle pins device scores either way).
+    L = 1 << (N - 1).bit_length()  # pad >= N: valid lags never wrap
+
+    @jax.jit
+    def fft_corr(x):
+        xf = jnp.fft.rfft(x, n=L, axis=1)  # [B, F, C]
+        bf = jnp.fft.rfft(bank_d.transpose(1, 0, 2), n=L, axis=0)  # [F, K, C]
+        sf = jnp.einsum("bfc,fkc->bkf", xf, jnp.conj(bf))
+        s = jnp.fft.irfft(sf, n=L, axis=2)
+        return s[:, :, :npos]
+
+    out["f32_fft_ms"] = round(marginal(run(fft_corr, x32)), 2)
+    ref = np.asarray(f_hi(x32)[:1]).reshape(1, K, npos)
+    got = np.asarray(fft_corr(x32[:1]))
+    scale = np.abs(ref).max() or 1.0
+    out["fft_max_rel_err"] = float(np.abs(got - ref).max() / scale)
     print(json.dumps(out))
 
 

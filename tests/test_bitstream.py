@@ -206,14 +206,21 @@ def test_v1_container_backward_compat(mld1):
     """A version-1 container (no decode_mode/rep_bits keys in the header
     JSON) still decodes — missing keys default to the v1 'ordered'
     behavior (docs/FORMAT.md version history)."""
+    import dataclasses
     import json
     import struct
 
-    from hsc_tpu import SignalGenerator
+    from hsc_tpu import MultilevelDictionary, SignalGenerator
     from hsc_tpu.io import unpack_corpus
     from hsc_tpu.runtime import CorpusEncoder
 
-    enc = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    # reference decode in ordered mode (v1 semantics) — the default config
+    # resolves decode_mode to 'integer' nowadays, which is exactly what a
+    # v1 container must NOT be reinterpreted as
+    mld_o = MultilevelDictionary(
+        dataclasses.replace(mld1.config, decode_mode="ordered"), mld1.dicts
+    )
+    enc = CorpusEncoder(mld_o, backend="jax", batch_size=2)
     xs = SignalGenerator(mld1, rates=4e-3).generate_signals(
         2, mld1.config.block_size, seed=43
     )

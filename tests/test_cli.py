@@ -58,7 +58,10 @@ def test_cli_info(cli_fixture):
     out = _run(["info", "--input", str(d / "s.hsct")])
     doc = json.loads(out.stdout)
     assert doc["blocks"] == 3
-    assert doc["config"]["decode_mode"] == "ordered"
+    # the default decode_mode resolves to 'integer' (the recommended fast
+    # decoder; config.py 'auto') and the stream header carries the resolved
+    # concrete mode
+    assert doc["config"]["decode_mode"] == "integer"
     assert doc["compression_ratio"] > 1
 
 

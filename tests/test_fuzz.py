@@ -91,10 +91,17 @@ def test_fuzz_hierarchical_pipeline(seed):
         assert np.array_equal(dev[level].positions, ref[level].positions), cfg
         assert np.array_equal(dev[level].codes, ref[level].codes), cfg
 
-    # decode bit-exact device vs oracle
-    a = coder.reconstruct(dev[1])
+    # decode bit-exact device vs oracle (both modes: ordered vs the float
+    # oracle, and the default — resolved 'integer' — vs the integer oracle)
+    a = coder.reconstruct(dev[1], mode="ordered")
     b = hierarchical_decode(dev[1], mld)
     assert a.tobytes() == b.tobytes(), cfg
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+
+    rep_q, step = rep_quantize(mld.representations(1)[:, :, None], cfg.rep_bits)
+    ai = coder.reconstruct(dev[1])
+    bi = mp_decode_integer(dev[1], rep_q, step, cfg.block_size)[:, 0]
+    assert ai.tobytes() == bi.tobytes(), cfg
 
 
 @pytest.mark.parametrize("seed", range(10))

@@ -338,6 +338,15 @@ def test_v1_container_still_decodes(mld1):
     from hsc_tpu.io import unpack_corpus
     from hsc_tpu.io.bitstream import MAGIC, pack_stream
 
+    import dataclasses
+
+    from hsc_tpu import MultilevelDictionary
+
+    # ordered-mode codec: v1 semantics on both sides (the default config
+    # resolves to 'integer' nowadays, which a v1 container must not inherit)
+    mld1 = MultilevelDictionary(
+        dataclasses.replace(mld1.config, decode_mode="ordered"), mld1.dicts
+    )
     cfg = mld1.config
     xs = SignalGenerator(mld1, rates=4e-3).generate_signals(
         1, cfg.block_size, seed=33

@@ -61,9 +61,23 @@ def test_hierarchical_encode_matches_oracle(mld2, signal2):
 def test_hierarchical_reconstruct_bit_exact(mld2, signal2):
     coder = HierarchicalConvolutionalSparseCoder(mld2)
     streams = coder.encode(signal2)
-    dev = coder.reconstruct(streams[-1])
+    # ordered mode: bit-exact vs the v1 float oracle
+    dev = coder.reconstruct(streams[-1], mode="ordered")
     ref = hierarchical_decode(streams[-1], mld2)
     assert dev.tobytes() == ref.tobytes()
+    # default mode resolves to 'integer' (the capacity bound holds for the
+    # test config): bit-exact vs the integer oracle
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+
+    cfg = mld2.config
+    assert cfg.decode_mode == "integer"
+    top = cfg.num_levels - 1
+    rep_q, step = rep_quantize(
+        mld2.representations(top)[:, :, None], cfg.rep_bits
+    )
+    dev_i = coder.reconstruct(streams[-1])
+    ref_i = mp_decode_integer(streams[-1], rep_q, step, cfg.block_size)[:, 0]
+    assert dev_i.tobytes() == ref_i.tobytes()
 
 
 def test_corpus_pipeline_roundtrip(mld2):
@@ -84,10 +98,20 @@ def test_corpus_pipeline_roundtrip(mld2):
     oracle_blob = pack_corpus(mld2.config, oracle_blocks)
     assert blob == oracle_blob  # streams identical => bytes identical
 
-    # decode side: bit-exact vs oracle decode
+    # decode side: bit-exact vs oracle decode (the default mode resolves to
+    # 'integer' — the container header says so, and the decode follows it)
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+
+    cfg = mld2.config
+    assert cfg.decode_mode == "integer"
+    rep_q, step = rep_quantize(
+        mld2.representations(1)[:, :, None], cfg.rep_bits
+    )
     decoded = coder.decode_corpus(blob)
     for b in range(3):
-        ref = hierarchical_decode(oracle_blocks[b][0][1], mld2)
+        ref = mp_decode_integer(
+            oracle_blocks[b][0][1], rep_q, step, cfg.block_size
+        )[:, 0]
         assert decoded[b].tobytes() == ref.tobytes()
 
 

@@ -70,9 +70,17 @@ def test_three_level_corpus_roundtrip(mld3, cfg3):
     cfg_out, blocks = unpack_corpus(blob)
     assert cfg_out == cfg3
     decoded = coder.decode_corpus(blob)
-    # top-level decode is bit-exact vs the oracle's decode of the same streams
+    # top-level decode is bit-exact vs the oracle's decode of the same
+    # streams (default decode_mode resolves to 'integer' for this config —
+    # the container header says so, and decode follows the header)
+    from hsc_tpu.oracle.mp import mp_decode_integer, rep_quantize
+
+    assert cfg3.decode_mode == "integer"
+    rep_q, step = rep_quantize(
+        mld3.representations(cfg3.num_levels - 1)[:, :, None], cfg3.rep_bits
+    )
     for b, streams in enumerate(blocks):
-        ref = hierarchical_decode(streams[0][1], mld3)
+        ref = mp_decode_integer(streams[0][1], rep_q, step, cfg3.block_size)[:, 0]
         assert decoded[b].tobytes() == ref.tobytes()
 
 
