@@ -69,6 +69,25 @@ class CodecConfig:
       rep_bits: representation quantizer width for decode_mode='integer'
         (unsigned magnitude; codes in [-(2^rep_bits - 1), 2^rep_bits - 1]).
         Max 12 so the plane-split matmuls stay exact (docs/FORMAT.md v2).
+      hier_init: init-correlation arithmetic for levels >= 1 (encode-side
+        only; decode never recomputes scores) —
+        'f32': f32-HIGHEST conv of the f32 feature map (the level-0
+        arithmetic; multi-pass bf16 emulation on the MXU);
+        'int8': exact int8 digit-plane correlation of the integer feature
+        map against the int16-quantized bank
+        (`oracle.mp.int8_init_scores`) — bitwise identical across backends
+        (the f32 init is the one fp-order-dependent stage; the int8 one
+        has none) and faster on TPU, where the f32 level-1 init was 63%%
+        of the whole flagship 2-level encode (BASELINE.md "hierarchical
+        speed-of-light").  Requires ``num_coefs[k]*amp_maxcode <=
+        2139062143`` for every non-top level (four balanced int8 digits
+        must cover any feature-map cell — practically always true) and
+        ``window*channels <= 65535`` at every level >= 1 (int32 plane
+        accumulators).
+        The DEFAULT is 'auto', resolved at construction to 'int8' whenever
+        those bounds hold, else 'f32'; serialized headers always carry the
+        resolved concrete value.  Streams from containers written before
+        this field existed parse as 'f32' (their encoder's arithmetic).
     """
 
     counts: tuple[int, ...] = (64,)
@@ -82,6 +101,7 @@ class CodecConfig:
     entropy: str = "fixed"
     decode_mode: str = "auto"
     rep_bits: int = 12
+    hier_init: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "counts", tuple(int(c) for c in self.counts))
@@ -137,6 +157,21 @@ class CodecConfig:
             # max(num_coefs) * 255 < 2^24 for its f32 one-hot dots; the
             # int8 balanced-digit decoder needs only m < 2^24, implied by
             # the amp_maxcode bound above, so that check is gone)
+        if self.hier_init == "auto":
+            # resolve to the exact int8 digit-plane init whenever its
+            # exactness bounds hold (see the class docstring); single-level
+            # configs have no level >= 1 init, so the value is inert there —
+            # resolve it anyway so serialized headers are always concrete
+            ok = self._int8_hier_init_ok()
+            object.__setattr__(self, "hier_init", "int8" if ok else "f32")
+        if self.hier_init not in ("int8", "f32"):
+            raise ValueError("hier_init must be 'auto', 'int8' or 'f32'")
+        if self.hier_init == "int8" and not self._int8_hier_init_ok():
+            raise ValueError(
+                "hier_init='int8' requires num_coefs*amp_maxcode <= 8355711 "
+                "at every non-top level and window*channels <= 65535 at "
+                "every level >= 1 (exact int8 digit-plane bounds)"
+            )
         if len(self.counts) > 1:
             # the level hand-off (ops.encode.feature_map_jax / oracle
             # feature_map_from_events) builds dense exact-integer code maps
@@ -149,6 +184,21 @@ class CodecConfig:
                     "for every non-top level (the feature-map hand-off "
                     f"capacity bound; got {max(self.num_coefs[:-1])})"
                 )
+
+    def _int8_hier_init_ok(self) -> bool:
+        """Exactness bounds for hier_init='int8' (oracle.mp.int8_init_scores):
+        every non-top level's feature-map cells must fit FOUR balanced int8
+        digits (cell sums <= num_coefs * amp_maxcode; the bound is 128x the
+        flagship's, so practically every config qualifies), and every
+        level >= 1 plane correlation must fit int32."""
+        if self.num_levels == 1:
+            return True
+        if max(self.num_coefs[:-1]) * self.amp_maxcode > 2139062143:
+            return False  # oracle.mp.FMAP4_DIGIT_BOUND
+        return all(
+            self.window_sizes[k] * self.channels[k] <= 65535
+            for k in range(1, self.num_levels)
+        )
 
     # ---- derived geometry -------------------------------------------------
 
@@ -219,6 +269,10 @@ class CodecConfig:
         d = json.loads(s)
         for key in ("counts", "scales", "num_coefs"):
             d[key] = tuple(d[key])
+        # headers/journals written before hier_init existed were encoded
+        # with the f32 init — never let the 'auto' default reinterpret the
+        # arithmetic an old stream was actually produced with
+        d.setdefault("hier_init", "f32")
         return cls(**d)
 
 

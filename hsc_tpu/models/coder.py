@@ -33,11 +33,13 @@ from ..ops.encode import (
     EncodedBlock,
     batched_loop_for,
     encode_init_batched,
+    encode_init_int_batched,
+    feature_map_int_jax,
     feature_map_jax,
     mp_encode_jax,
     quantizer_steps,
 )
-from ..oracle.mp import LevelStream
+from ..oracle.mp import LevelStream, balanced_digits, bank_quantize_int16
 
 
 def _to_level_stream(enc: EncodedBlock) -> LevelStream:
@@ -89,8 +91,23 @@ class ConvolutionalMatchingPursuit:
         n_raw: int | None = None,
         backend: str = "auto",
         num_select: int = 1,
+        int8_init: bool = False,
     ):
         self.bank = jnp.asarray(bank, dtype=jnp.float32)
+        # int8 digit-plane init frontend (hier_init='int8', levels >= 1):
+        # the bank's int16 quantization and its two balanced int8 digit
+        # planes, derived host-side from the bank bytes alone (spec:
+        # oracle.mp.bank_quantize_int16)
+        self.int8_init = bool(int8_init)
+        if self.int8_init:
+            # raw sub-bank only: singleton rows are exact passthroughs in
+            # the init executable (oracle.mp.int8_init_scores docstring)
+            nr = int(n_raw) if n_raw is not None else int(bank.shape[0])
+            bank_q, step = bank_quantize_int16(np.asarray(bank)[:nr])
+            self.bank_planes = jnp.asarray(
+                balanced_digits(bank_q, 2).astype(np.int8)
+            )
+            self.bank_step = jnp.float32(step)
         # gram_t[f] = G[:, f, :] — the contiguous per-selection update row.
         self.gram_t = jnp.asarray(
             np.ascontiguousarray(np.asarray(gram).transpose(1, 0, 2)),
@@ -158,6 +175,25 @@ class ConvolutionalMatchingPursuit:
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
         return self.loop_stage(scores0, e0, scale, inv)
 
+    def init_int_batched(self, m_int: jax.Array, prev_scale: jax.Array):
+        """The int8 digit-plane init executable bound to this bank
+        (hier_init='int8'; requires ``int8_init=True`` at construction).
+        ``m_int [B, N, C]`` int32, ``prev_scale [B]`` f32 ->
+        (scores0, e0, peak)."""
+        return encode_init_int_batched(
+            m_int, prev_scale, self.bank_planes, self.bank_step
+        )
+
+    def compute_coefficients_batch_int(
+        self, m_int: jax.Array, prev_scale: jax.Array
+    ) -> EncodedBlock:
+        """Encode exact integer feature maps ``[B, N, C]`` (with their
+        emitting level's f32 scales) via the int8 init — the level >= 1
+        batched entry point under hier_init='int8'."""
+        scores0, e0, peak = self.init_int_batched(m_int, prev_scale)
+        scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
+        return self.loop_stage(scores0, e0, scale, inv)
+
 
 class ConvolutionalSparseCoder:
     """Single-level encode/reconstruct pair (reference:
@@ -178,6 +214,7 @@ class ConvolutionalSparseCoder:
             n_raw=cfg.counts[level],
             backend=backend,
             num_select=cfg.num_select,
+            int8_init=level > 0 and cfg.hier_init == "int8",
         )
 
     def encode(self, x) -> LevelStream:
@@ -241,6 +278,7 @@ class HierarchicalConvolutionalSparseCoder:
         # may need a rep_bits different from this dictionary's config
         self._rep_q_banks: dict[tuple[int, int], tuple[jax.Array, np.float32]] = {}
         self._fmap_batched = {}
+        self._fmap_int_batched = {}
 
     def fmap_batched(self, level: int):
         """Cached jit'd vmap of the level -> level+1 hand-off map — the ONE
@@ -257,6 +295,22 @@ class HierarchicalConvolutionalSparseCoder:
                 )
             )
         return self._fmap_batched[level]
+
+    def fmap_int_batched(self, level: int):
+        """Integer-map variant of `fmap_batched` (hier_init='int8'): the
+        level -> level+1 hand-off WITHOUT the f32 scale multiply — the int8
+        init consumes the exact int32 map plus the scale vector directly."""
+        if level not in self._fmap_int_batched:
+            self._fmap_int_batched[level] = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        feature_map_int_jax,
+                        npos=self.cfg.num_positions(level),
+                        k=self.mld.num_atoms(level),
+                    )
+                )
+            )
+        return self._fmap_int_batched[level]
 
     def _rep_q(self, level: int, rep_bits: int):
         key = (level, int(rep_bits))
@@ -279,16 +333,35 @@ class HierarchicalConvolutionalSparseCoder:
         if x.ndim == 1:
             x = x[:, None]
         out = []
-        seq = x
+        seq = x  # f32 input (level 0 / hier_init='f32' hand-off)
+        seq_int = None  # exact int32 map + its scale (hier_init='int8')
         for level in range(cfg.num_levels):
-            enc = self.coders[level].mp.compute_coefficients(seq)
+            mp = self.coders[level].mp
+            if mp.int8_init:
+                m_int, prev_scale = seq_int
+                enc_b = mp.compute_coefficients_batch_int(
+                    m_int[None], prev_scale[None]
+                )
+                enc = EncodedBlock(*(v[0] for v in enc_b))
+            else:
+                enc = mp.compute_coefficients(seq)
             out.append(enc)
             if level + 1 < cfg.num_levels:
-                seq = feature_map_jax(
-                    enc,
-                    npos=cfg.num_positions(level),
-                    k=self.mld.num_atoms(level),
-                )
+                if self.coders[level + 1].mp.int8_init:
+                    seq_int = (
+                        feature_map_int_jax(
+                            enc,
+                            npos=cfg.num_positions(level),
+                            k=self.mld.num_atoms(level),
+                        ),
+                        enc.scale,
+                    )
+                else:
+                    seq = feature_map_jax(
+                        enc,
+                        npos=cfg.num_positions(level),
+                        k=self.mld.num_atoms(level),
+                    )
         return out
 
     def encode_batch(self, xs) -> list[list[LevelStream]]:
@@ -300,11 +373,19 @@ class HierarchicalConvolutionalSparseCoder:
             xs = xs[:, :, None]
         levels: list[EncodedBlock] = []
         seq = xs
+        seq_int = None  # (int32 maps, scales) under hier_init='int8'
         for level in range(cfg.num_levels):
-            enc = self.coders[level].mp.compute_coefficients_batch(seq)
+            mp = self.coders[level].mp
+            if mp.int8_init:
+                enc = mp.compute_coefficients_batch_int(*seq_int)
+            else:
+                enc = mp.compute_coefficients_batch(seq)
             levels.append(enc)
             if level + 1 < cfg.num_levels:
-                seq = self.fmap_batched(level)(enc)
+                if self.coders[level + 1].mp.int8_init:
+                    seq_int = (self.fmap_int_batched(level)(enc), enc.scale)
+                else:
+                    seq = self.fmap_batched(level)(enc)
         levels = [jax.device_get(e) for e in levels]
         nb = levels[0].count.shape[0]
         out = []

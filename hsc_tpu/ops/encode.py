@@ -348,7 +348,17 @@ def feature_map_jax(
 ) -> jax.Array:
     """Dense coefficient map ``[Npos, K]`` from device events — bitwise
     `oracle.mp.feature_map_from_events` (exact integer code sums per cell,
-    mod 2^32, times the f32 scale; order-free — SURVEY.md §3.4 hand-off).
+    mod 2^32, times the f32 scale; order-free — SURVEY.md §3.4 hand-off)."""
+    f_map = feature_map_int_jax(encoded, npos=npos, k=k)
+    return f_map.astype(jnp.float32) * encoded.scale.astype(jnp.float32)
+
+
+def feature_map_int_jax(
+    encoded: EncodedBlock, *, npos: int, k: int
+) -> jax.Array:
+    """The EXACT integer part of `feature_map_jax` (int32 ``[Npos, K]`` code
+    sums, mod 2^32 — `oracle.mp.feature_map_int_from_events`); the input the
+    int8 level->=1 init (`encode_init_int_batched`) consumes directly.
 
     Runs as chunked iota-compare one-hot matmuls on the MXU (no scatter, no
     serial scan): codes split into three BALANCED signed base-256 digits
@@ -392,5 +402,72 @@ def feature_map_jax(
     _, parts = jax.lax.scan(
         chunk_body, None, jnp.arange(0, npos_pad, chunk, dtype=jnp.int32)
     )
-    f_map = parts.reshape(npos_pad, k)[:npos]
-    return f_map.astype(jnp.float32) * encoded.scale.astype(jnp.float32)
+    return parts.reshape(npos_pad, k)[:npos]
+
+
+@jax.jit
+def encode_init_int_batched(
+    m_int: jax.Array,
+    prev_scale: jax.Array,
+    bank_planes: jax.Array,
+    step: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact int8 digit-plane init for levels >= 1 (hier_init='int8') —
+    bitwise `oracle.mp.int8_init_scores` per block, with NO cross-backend
+    injection needed (integer accumulation is order-free; the f32
+    recombination uses only correctly-rounded conversions and exact
+    power-of-two products — see the oracle docstring for the argument).
+
+    ``m_int [B, N, C]`` int32 exact feature maps (`feature_map_int_jax`),
+    ``prev_scale [B]`` f32 (the emitting level's quantizer scales),
+    ``bank_planes [n_raw, W, C, 2]`` int8 balanced digits of the
+    `bank_quantize_int16` codes of the RAW sub-bank, ``step`` f32 scalar
+    from the same.  Singleton rows (the trailing C atoms of the augmented
+    bank) are exact unit-delta passthroughs of the scaled map — see the
+    oracle docstring for why they bypass the quantized bank.
+
+    One fused 2-D int8 conv with the digit index as a spatial axis (full
+    padding) emits all five recombination planes T_s = sum_{j+p=s} P_jp in
+    a single MXU pass (candidates A/B'd in scripts/bench_int8_conv.py; the
+    fused form beat six separate plane convs 2.1x on hardware).  This is
+    the portable XLA implementation; the fast path is the sparse event
+    kernel (`ops.init_kernels`) — same integers, same bits.  Returns
+    (scores0 [B, K, npos], e0 [B], peak [B]) — the same triple as
+    `encode_init_batched`.
+    """
+    x = m_int.astype(jnp.float32) * prev_scale[:, None, None]
+    e0 = jnp.sum(jnp.square(x), axis=(1, 2))
+    d0 = ((m_int + 128) & 255) - 128
+    r = (m_int - d0) >> 8
+    d1 = ((r + 128) & 255) - 128
+    r2 = (r - d1) >> 8
+    d2 = ((r2 + 128) & 255) - 128
+    d3 = (r2 - d2) >> 8
+    digs = jnp.stack([d0, d1, d2, d3], axis=-1).astype(jnp.int8)  # [B,N,C,4]
+    lhs = digs.transpose(0, 2, 1, 3)  # [B, C, N, 4]
+    # plane axis flipped: XLA convs are cross-correlations, but the digit
+    # recombination T_s = sum_{j+p=s} P_jp is a true convolution over the
+    # plane index
+    rhs = bank_planes[..., ::-1].transpose(0, 2, 1, 3)  # [K, C, W, 2]
+    o = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding=[(0, 0), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.int32,
+    )  # [B, K, npos, 5]
+    lo = o[..., 0].astype(jnp.float32) + jnp.float32(256.0) * o[..., 1].astype(
+        jnp.float32
+    )
+    hi = jnp.float32(65536.0) * o[..., 2].astype(jnp.float32) + jnp.float32(
+        16777216.0
+    ) * o[..., 3].astype(jnp.float32)
+    rr = (lo + hi) + jnp.float32(4294967296.0) * o[..., 4].astype(jnp.float32)
+    g = prev_scale * step.astype(jnp.float32)
+    raw_scores = rr * g[:, None, None]  # [B, n_raw, npos]
+    npos = raw_scores.shape[2]
+    sing = x[:, :npos, :].transpose(0, 2, 1)  # [B, C, npos] exact passthrough
+    scores0 = jnp.concatenate([raw_scores, sing], axis=1)
+    peak = jnp.max(jnp.abs(scores0), axis=(1, 2))
+    return scores0, e0, peak

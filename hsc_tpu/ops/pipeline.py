@@ -141,7 +141,11 @@ def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
 
     def _push(level, xb):
         mp = coder.coders[level].mp
-        s0, e0, peak = encode_init_batched(xb, mp.bank)
+        if mp.int8_init:
+            # xb = (int32 maps, scales) from the integer hand-off
+            s0, e0, peak = mp.init_int_batched(*xb)
+        else:
+            s0, e0, peak = encode_init_batched(xb, mp.bank)
         try:
             peak.copy_to_host_async()
         except AttributeError:
@@ -157,7 +161,13 @@ def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
         enc = mp.loop_stage(s0, e0, scale, inv)
         outs[level].append(enc)
         if level + 1 < n_levels:
-            _push(level + 1, coder.fmap_batched(level)(enc))
+            if coder.coders[level + 1].mp.int8_init:
+                _push(
+                    level + 1,
+                    (coder.fmap_int_batched(level)(enc), enc.scale),
+                )
+            else:
+                _push(level + 1, coder.fmap_batched(level)(enc))
 
     w = max(window, 1)
     while bi < n or any(pend):

@@ -295,6 +295,145 @@ def rep_quantize(bank: np.ndarray, rep_bits: int) -> tuple[np.ndarray, np.float3
     return q, step
 
 
+# ---- int8 level->=1 init scoring (hier_init='int8') -------------------------
+#
+# A level k >= 1 input is an EXACT integer map times one f32 scale (the
+# quantized feature-map hand-off), so the init correlation can be respecified
+# as exact int8 digit-plane products accumulated in int32 — bitwise
+# deterministic for ANY reduction order, which removes the one
+# fp-order-dependent stage (SURVEY.md §7 H2) from every level above 0, and
+# runs on the MXU at 2x the bf16 MAC rate instead of f32-HIGHEST's multi-pass
+# emulation (measured 63%% of the whole flagship 2-level encode —
+# BASELINE.md "hierarchical speed-of-light").
+
+# 127*256 + 127: the largest magnitude whose TWO balanced base-256 digits both
+# stay in [-128, 127] (int8).
+BANK_MAXCODE_INT16 = 32639
+# 127*(1 + 256 + 65536): the largest magnitude whose THREE balanced digits all
+# stay in [-128, 127].
+FMAP_DIGIT_BOUND = 8355711
+# The init spec uses FOUR map digits: canonical (greedy) balanced digits of
+# v stay int8 for v in [-(8421504 + 128*2^24), 8355711 + 127*2^24] — the
+# symmetric safe bound below covers any realistic feature-map cell (code
+# sums up to num_coefs * amp_maxcode; the flagship's 512 * 32767 is 128x
+# inside it), so hier_init='int8' carries NO practical budget bound.
+FMAP4_DIGIT_BOUND = 8355711 + 127 * (1 << 24)  # 2_139_062_143
+
+
+def balanced_digits(v: np.ndarray, ndigits: int) -> np.ndarray:
+    """Split integers into `ndigits` balanced signed base-256 digits
+    (``v = sum_j d_j * 256**j``, every ``d_j`` in [-128, 127]) — the same
+    decomposition the feature-map hand-off and the integer decoder use.
+    Exact; raises if the final digit overflows int8 (caller must respect
+    the range bound, e.g. FMAP_DIGIT_BOUND for ndigits=3)."""
+    r = np.asarray(v).astype(np.int64)
+    digs = []
+    for _ in range(ndigits - 1):
+        d = ((r + 128) & 255) - 128
+        digs.append(d)
+        r = (r - d) >> 8
+    if r.size and (r.max(initial=0) > 127 or r.min(initial=0) < -128):
+        raise ValueError(
+            f"value out of range for {ndigits} balanced base-256 digits"
+        )
+    digs.append(r)
+    return np.stack(digs, axis=-1)
+
+
+def bank_quantize_int16(bank: np.ndarray) -> tuple[np.ndarray, np.float32]:
+    """Quantize a filter bank to int16-range codes for the int8 digit-plane
+    init conv (hier_init='int8').
+
+    Same host-side IEEE-f32 convention as `rep_quantize`, with
+    ``maxcode = BANK_MAXCODE_INT16`` (32639, not 32767, so both balanced
+    base-256 digits of every code are native int8).  Returns
+    (bank_q int32 [K, W, C], step f32) with ``bank ~= bank_q * step``.
+    Deterministic from the bank bytes alone — every backend derives
+    identical planes."""
+    bank = np.asarray(bank, dtype=np.float32)
+    maxcode = np.float32(BANK_MAXCODE_INT16)
+    peak = np.float32(np.max(np.abs(bank))) if bank.size else np.float32(0)
+    if not peak > 0:
+        return np.zeros(bank.shape, np.int32), np.float32(0)
+    step = np.float32(peak / maxcode)
+    inv = np.float32(maxcode / peak)
+    y = (bank * inv).astype(np.float32)
+    r = np.floor(np.abs(y) + np.float32(0.5)).astype(np.float32) * np.sign(y)
+    q = np.clip(r, -maxcode, maxcode).astype(np.int32)
+    return q, step
+
+
+def int8_init_scores(
+    m_int: np.ndarray,
+    bank_q: np.ndarray,
+    step: np.float32,
+    prev_scale: np.float32,
+) -> np.ndarray:
+    """Init correlation scores ``[n_raw + C, Npos]`` of an exact integer map
+    ``m_int [N, C]`` (the level input, before its f32 scale) against an
+    int16-quantized RAW sub-bank ``bank_q [n_raw, W, C]``
+    (`bank_quantize_int16` of ``augmented[:n_raw]`` — the learned atoms
+    only).
+
+    SINGLETON rows are NOT scored through the quantized bank: a singleton
+    is a unit delta at offset 0 on channel s (`dictionary.augmented`), so
+    its correlation is exactly the scaled map value —
+    ``scores[n_raw + s, t] = f32(f32(m_int[t, s]) * prev_scale)`` — the
+    bit-identical value the f32 conv produced (a unit atom contributes one
+    exact product).  This keeps the structural identity ``scale_k ==
+    scale_{k-1}`` (the level peak is the largest map cell via its
+    singleton, so each level's quantizer step reproduces the previous
+    one's), which `to_top_level`'s one-scale-per-stream merge relies on,
+    and gives the raw atoms a finer quantizer (their own absmax, not the
+    singletons' 1.0).
+
+    Raw-row spec arithmetic, shared bit-for-bit by the device executable
+    (`ops.encode.encode_init_int_batched`):
+
+      * m splits into FOUR balanced int8 digit planes d_j (four, not three,
+        so feature-map cells carry no practical budget bound —
+        FMAP4_DIGIT_BOUND), bank_q into TWO (b_p); the eight plane
+        correlations ``P_jp`` are exact integer sums (int32 on device —
+        guarded by W*C <= 65535 in CodecConfig);
+      * the anti-diagonal sums ``T_s = sum_{j+p=s} P_jp`` (s = 0..4) are
+        exact int32;
+      * f32 recombination in a FIXED grouping with power-of-two weights —
+        ``R = ((f32(T0) + 256*f32(T1)) + (65536*f32(T2) + 2^24*f32(T3)))
+        + 2^32*f32(T4)`` — is backend-invariant: int32->f32 conversion is
+        correctly rounded everywhere, the products are exact (powers of
+        two), so even an FMA contraction cannot change a bit;
+      * ``scores = R * g`` with ``g = f32(prev_scale * step)``.
+
+    Unlike the f32 level-0 init, this stage needs NO score injection to pin
+    cross-backend parity — the integers make it bitwise by construction.
+    """
+    d = balanced_digits(m_int, 4)  # [N, C, 4]
+    b = balanced_digits(bank_q, 2)  # [K, W, C, 2]
+    w = bank_q.shape[1]
+    windows = np.lib.stride_tricks.sliding_window_view(
+        d, w, axis=0
+    )  # [Npos, C, 4, W]
+    # exact integer plane correlations, all (j, p) at once
+    p_jp = np.einsum("tcjw,kwcp->jpkt", windows, b, optimize=True)  # int64
+    t0 = p_jp[0, 0]
+    t1 = p_jp[0, 1] + p_jp[1, 0]
+    t2 = p_jp[1, 1] + p_jp[2, 0]
+    t3 = p_jp[2, 1] + p_jp[3, 0]
+    t4 = p_jp[3, 1]
+    lo = t0.astype(np.float32) + np.float32(256.0) * t1.astype(np.float32)
+    hi = np.float32(65536.0) * t2.astype(np.float32) + np.float32(
+        16777216.0
+    ) * t3.astype(np.float32)
+    r = (lo + hi) + np.float32(4294967296.0) * t4.astype(np.float32)
+    g = np.float32(np.float32(prev_scale) * np.float32(step))
+    raw_scores = (r * g).astype(np.float32)
+    npos = raw_scores.shape[1]
+    sing = (
+        m_int[:npos].astype(np.float32) * np.float32(prev_scale)
+    ).astype(np.float32).T  # [C, Npos] — exact unit-delta passthrough
+    return np.concatenate([raw_scores, sing], axis=0)
+
+
 def _wrap_int32(acc: np.ndarray) -> np.ndarray:
     """Reduce exact integer sums mod 2^32 into signed int32 (the spec's
     wraparound semantics — a ring homomorphism, so any backend's sequence of
@@ -345,16 +484,25 @@ def feature_map_from_events(stream: LevelStream, npos: int, k: int) -> np.ndarra
     This is what lets the device hand-off run as MXU one-hot matmuls
     (`ops.encode.feature_map_jax`) instead of a serial per-event scan.
     """
+    return (
+        feature_map_int_from_events(stream, npos, k).astype(np.float32)
+        * np.float32(stream.scale)
+    ).astype(np.float32)
+
+
+def feature_map_int_from_events(
+    stream: LevelStream, npos: int, k: int
+) -> np.ndarray:
+    """The EXACT integer part of `feature_map_from_events` (code sums per
+    cell, mod 2^32) — the int32 map the int8 init conv (hier_init='int8')
+    consumes directly; the f32 hand-off is this times the stream scale."""
     acc = np.zeros((npos, k), dtype=np.int64)
     np.add.at(
         acc,
         (stream.positions.astype(np.int64), stream.atoms.astype(np.int64)),
         stream.codes.astype(np.int64),
     )
-    wrapped = _wrap_int32(acc)
-    return (wrapped.astype(np.float32) * np.float32(stream.scale)).astype(
-        np.float32
-    )
+    return _wrap_int32(acc)
 
 
 def hierarchical_encode(
@@ -372,12 +520,20 @@ def hierarchical_encode(
     seq = np.asarray(x, dtype=np.float32)
     if seq.ndim == 1:
         seq = seq[:, None]
+    use_int8 = getattr(cfg, "hier_init", "f32") == "int8"
+    seq_int = None  # exact integer map for the current level (levels >= 1)
+    prev_scale = np.float32(0)
     for level in range(cfg.num_levels):
         bank = mld.augmented(level)
+        scores0 = None
+        if level >= 1 and use_int8:
+            bank_q, step = bank_quantize_int16(bank[: cfg.counts[level]])
+            scores0 = int8_init_scores(seq_int, bank_q, step, prev_scale)
         stream = mp_encode(
             seq,
             bank,
             mld.gram(level),
+            scores0=scores0,
             num_coefs=cfg.num_coefs[level],
             amp_bits=cfg.amp_bits,
             tolerance_snr=cfg.tolerance_snr,
@@ -387,9 +543,13 @@ def hierarchical_encode(
         )
         streams.append(stream)
         if level + 1 < cfg.num_levels:
-            seq = feature_map_from_events(
+            seq_int = feature_map_int_from_events(
                 stream, cfg.num_positions(level), bank.shape[0]
             )
+            seq = (
+                seq_int.astype(np.float32) * np.float32(stream.scale)
+            ).astype(np.float32)
+            prev_scale = np.float32(stream.scale)
     return streams
 
 

@@ -126,6 +126,9 @@ class DataParallelEncoder:
 
     def _run(self, arr: jax.Array) -> EncodedBlock:
         scores0, e0, peak = encode_init_batched(arr, self.mp.bank)
+        return self._finish(scores0, e0, peak)
+
+    def _finish(self, scores0, e0, peak) -> EncodedBlock:
         scale, inv = quantizer_steps(
             np.asarray(jax.device_get(peak)), self.mp.settings["amp_bits"]
         )
@@ -150,6 +153,18 @@ class DataParallelEncoder:
         the hierarchical DP pipeline, where the inter-level hand-off must stay
         on device."""
         return self._run(arr)
+
+    def encode_device_int(
+        self, m_int: jax.Array, prev_scale: jax.Array
+    ) -> EncodedBlock:
+        """Sharded-in, sharded-out int8-init encode (hier_init='int8') of the
+        exact integer hand-off maps ``[B, N, C]`` int32 + their emitting
+        level's scales ``[B]`` f32 — the level >= 1 building block of the
+        hierarchical DP pipeline.  Shardings propagate through the shared
+        `encode_init_int_batched` jit (blocks stay on their shard; the bank
+        planes replicate)."""
+        scores0, e0, peak = self.mp.init_int_batched(m_int, prev_scale)
+        return self._finish(scores0, e0, peak)
 
     @staticmethod
     def multihost_split(n_global: int, n_processes: int) -> list[tuple[int, int]]:
@@ -262,11 +277,21 @@ class HierarchicalDataParallelEncoder:
             jnp.asarray(padded), self.levels[0]._data_sharding
         )
         encs: list[EncodedBlock] = []
+        arr_int = None  # (int32 maps, scales) under hier_init='int8'
         for level, dp in enumerate(self.levels):
-            enc = dp.encode_device(arr)
+            if dp.mp.int8_init:
+                enc = dp.encode_device_int(*arr_int)
+            else:
+                enc = dp.encode_device(arr)
             encs.append(enc)
             if level + 1 < self.cfg.num_levels:
-                arr = self._feature_map(level, enc)
+                if self.levels[level + 1].mp.int8_init:
+                    arr_int = (
+                        self.coder.fmap_int_batched(level)(enc),
+                        enc.scale,
+                    )
+                else:
+                    arr = self._feature_map(level, enc)
         out = []
         for enc in encs:
             host = jax.device_get(enc)  # gathers shards in block order

@@ -118,25 +118,42 @@ def main():
     stages_ms = 0.0
 
     # Per-level inputs: run the real hand-off chain once on device.
+    # hier_init='int8' levels carry (int32 map, scales) instead of f32 maps.
     level_inputs = [xb]
     encs = []
     for level in range(cfg.num_levels):
         mp = coder.coders[level].mp
-        s0, e0, peak = encode_init_batched(level_inputs[level], mp.bank)
+        if mp.int8_init:
+            s0, e0, peak = mp.init_int_batched(*level_inputs[level])
+        else:
+            s0, e0, peak = encode_init_batched(level_inputs[level], mp.bank)
         scale, inv = quantizer_steps(
             np.asarray(jax.device_get(peak)), mp.settings["amp_bits"]
         )
         enc = mp.loop_stage(s0, e0, scale, inv)
         encs.append(enc)
         if level + 1 < cfg.num_levels:
-            level_inputs.append(coder.fmap_batched(level)(enc))
+            if coder.coders[level + 1].mp.int8_init:
+                level_inputs.append(
+                    (coder.fmap_int_batched(level)(enc), enc.scale)
+                )
+            else:
+                level_inputs.append(coder.fmap_batched(level)(enc))
 
         # --- init_k: MXU correlation over this level's input ---------------
         xin = level_inputs[level]
 
-        def run_init(nb, xin=xin, bank=mp.bank):
-            outs = [encode_init_batched(xin, bank) for _ in range(nb)]
-            jax.device_get(outs[-1][2])  # tiny [B] peak fetch
+        if mp.int8_init:
+
+            def run_init(nb, xin=xin, mp=mp):
+                outs = [mp.init_int_batched(*xin) for _ in range(nb)]
+                jax.device_get(outs[-1][2])  # tiny [B] peak fetch
+
+        else:
+
+            def run_init(nb, xin=xin, bank=mp.bank):
+                outs = [encode_init_batched(xin, bank) for _ in range(nb)]
+                jax.device_get(outs[-1][2])  # tiny [B] peak fetch
 
         m_init = marginal(run_init)
 
@@ -162,7 +179,10 @@ def main():
 
         # --- fmap_k: hand-off map (levels below the top) --------------------
         if level + 1 < cfg.num_levels:
-            fmap = coder.fmap_batched(level)
+            if coder.coders[level + 1].mp.int8_init:
+                fmap = coder.fmap_int_batched(level)
+            else:
+                fmap = coder.fmap_batched(level)
 
             def run_fmap(nb, fmap=fmap, enc=enc):
                 outs = [fmap(enc) for _ in range(nb)]
@@ -179,6 +199,8 @@ def main():
             from jax import lax
 
             bank = mp.bank
+            if isinstance(xin, tuple):  # int8 levels: rebuild the f32 map
+                xin = xin[0].astype(jnp.float32) * xin[1][:, None, None]
 
             @jax.jit
             def init_fast(x, bank=bank):
