@@ -36,6 +36,7 @@ from ..ops.encode import (
     encode_init_int_batched,
     feature_map_int_jax,
     feature_map_jax,
+    int8_assemble_batched,
     mp_encode_jax,
     quantizer_steps,
 )
@@ -104,10 +105,14 @@ class ConvolutionalMatchingPursuit:
             # the init executable (oracle.mp.int8_init_scores docstring)
             nr = int(n_raw) if n_raw is not None else int(bank.shape[0])
             bank_q, step = bank_quantize_int16(np.asarray(bank)[:nr])
-            self.bank_planes = jnp.asarray(
-                balanced_digits(bank_q, 2).astype(np.int8)
-            )
+            planes_np = balanced_digits(bank_q, 2).astype(np.int8)
+            self.bank_planes = jnp.asarray(planes_np)
             self.bank_step = jnp.float32(step)
+            # reversed int32 plane layout for the sparse event init kernel
+            # (ops.init_kernels — the pallas-backend fast path)
+            from ..ops.init_kernels import build_bank_rev
+
+            self.bank_rev = jnp.asarray(build_bank_rev(planes_np))
         # gram_t[f] = G[:, f, :] — the contiguous per-selection update row.
         self.gram_t = jnp.asarray(
             np.ascontiguousarray(np.asarray(gram).transpose(1, 0, 2)),
@@ -175,22 +180,59 @@ class ConvolutionalMatchingPursuit:
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
         return self.loop_stage(scores0, e0, scale, inv)
 
-    def init_int_batched(self, m_int: jax.Array, prev_scale: jax.Array):
+    def init_int_batched(
+        self,
+        m_int: jax.Array,
+        prev_scale: jax.Array,
+        events: tuple | None = None,
+    ):
         """The int8 digit-plane init executable bound to this bank
         (hier_init='int8'; requires ``int8_init=True`` at construction).
         ``m_int [B, N, C]`` int32, ``prev_scale [B]`` f32 ->
-        (scores0, e0, peak)."""
+        (scores0, e0, peak).
+
+        ``events`` — the emitting level's device event buffers
+        ``(positions [B, M], atoms [B, M], codes [B, M], count [B])`` —
+        selects the sparse event kernel (`ops.init_kernels`) on the pallas
+        backend when the geometry supports it: the init then costs
+        O(events) instead of O(N*C) dense MACs, and feeds the SAME shared
+        assemble jit, so the triple is bitwise the dense producer's."""
+        if events is not None and self.backend.startswith("pallas"):
+            from ..ops.init_kernels import (
+                aggregate_codes,
+                sparse_init_raw_pallas,
+                sparse_init_supported,
+            )
+
+            b, n, c = m_int.shape
+            n_raw, w = self.bank_planes.shape[0], self.bank_planes.shape[1]
+            npos = n - w + 1
+            if sparse_init_supported(n_raw, w, c, npos):
+                positions, atoms, codes, count = events
+                agg = aggregate_codes(positions, atoms, codes, count, c_in=c)
+                g = prev_scale * self.bank_step  # f32(prev_scale * step)
+                raw_pad, peak_raw = sparse_init_raw_pallas(
+                    positions, atoms, agg, g, self.bank_rev,
+                    npos=npos, n_raw=n_raw,
+                    interpret=self.backend == "pallas_interpret",
+                )
+                raw = raw_pad[:, :n_raw, :npos]
+                return int8_assemble_batched(raw, peak_raw, m_int, prev_scale)
         return encode_init_int_batched(
             m_int, prev_scale, self.bank_planes, self.bank_step
         )
 
     def compute_coefficients_batch_int(
-        self, m_int: jax.Array, prev_scale: jax.Array
+        self,
+        m_int: jax.Array,
+        prev_scale: jax.Array,
+        events: tuple | None = None,
     ) -> EncodedBlock:
         """Encode exact integer feature maps ``[B, N, C]`` (with their
         emitting level's f32 scales) via the int8 init — the level >= 1
-        batched entry point under hier_init='int8'."""
-        scores0, e0, peak = self.init_int_batched(m_int, prev_scale)
+        batched entry point under hier_init='int8'.  Pass the emitting
+        level's ``events`` to enable the sparse init kernel (same bits)."""
+        scores0, e0, peak = self.init_int_batched(m_int, prev_scale, events)
         scale, inv = quantizer_steps(jax.device_get(peak), self.settings["amp_bits"])
         return self.loop_stage(scores0, e0, scale, inv)
 
@@ -338,9 +380,9 @@ class HierarchicalConvolutionalSparseCoder:
         for level in range(cfg.num_levels):
             mp = self.coders[level].mp
             if mp.int8_init:
-                m_int, prev_scale = seq_int
+                m_int, prev_scale, events = seq_int
                 enc_b = mp.compute_coefficients_batch_int(
-                    m_int[None], prev_scale[None]
+                    m_int[None], prev_scale[None], events
                 )
                 enc = EncodedBlock(*(v[0] for v in enc_b))
             else:
@@ -355,6 +397,12 @@ class HierarchicalConvolutionalSparseCoder:
                             k=self.mld.num_atoms(level),
                         ),
                         enc.scale,
+                        (
+                            enc.positions[None],
+                            enc.atoms[None],
+                            enc.codes[None],
+                            enc.count[None],
+                        ),
                     )
                 else:
                     seq = feature_map_jax(
@@ -383,7 +431,11 @@ class HierarchicalConvolutionalSparseCoder:
             levels.append(enc)
             if level + 1 < cfg.num_levels:
                 if self.coders[level + 1].mp.int8_init:
-                    seq_int = (self.fmap_int_batched(level)(enc), enc.scale)
+                    seq_int = (
+                        self.fmap_int_batched(level)(enc),
+                        enc.scale,
+                        (enc.positions, enc.atoms, enc.codes, enc.count),
+                    )
                 else:
                     seq = self.fmap_batched(level)(enc)
         levels = [jax.device_get(e) for e in levels]

@@ -406,37 +406,27 @@ def feature_map_int_jax(
 
 
 @jax.jit
-def encode_init_int_batched(
+def encode_init_int_raw(
     m_int: jax.Array,
     prev_scale: jax.Array,
     bank_planes: jax.Array,
     step: jax.Array,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Exact int8 digit-plane init for levels >= 1 (hier_init='int8') —
-    bitwise `oracle.mp.int8_init_scores` per block, with NO cross-backend
-    injection needed (integer accumulation is order-free; the f32
-    recombination uses only correctly-rounded conversions and exact
-    power-of-two products — see the oracle docstring for the argument).
-
-    ``m_int [B, N, C]`` int32 exact feature maps (`feature_map_int_jax`),
-    ``prev_scale [B]`` f32 (the emitting level's quantizer scales),
-    ``bank_planes [n_raw, W, C, 2]`` int8 balanced digits of the
-    `bank_quantize_int16` codes of the RAW sub-bank, ``step`` f32 scalar
-    from the same.  Singleton rows (the trailing C atoms of the augmented
-    bank) are exact unit-delta passthroughs of the scaled map — see the
-    oracle docstring for why they bypass the quantized bank.
+) -> tuple[jax.Array, jax.Array]:
+    """Raw (learned-atom) init score rows of the int8 digit-plane init —
+    the dense XLA producer of the `oracle.mp.int8_init_scores` raw-row
+    arithmetic.  Returns (raw_scores [B, n_raw, npos] f32, peak_raw [B]);
+    `int8_assemble_batched` adds the singleton passthrough rows, the block
+    energies, and the combined peak.  The sparse event kernel
+    (`ops.init_kernels.sparse_init_raw_pallas`) produces these SAME rows
+    from the emitting level's events — same integers, same fixed-grouping
+    f32 recombination, bitwise — so both producers feed one shared
+    assemble executable.
 
     One fused 2-D int8 conv with the digit index as a spatial axis (full
     padding) emits all five recombination planes T_s = sum_{j+p=s} P_jp in
     a single MXU pass (candidates A/B'd in scripts/bench_int8_conv.py; the
-    fused form beat six separate plane convs 2.1x on hardware).  This is
-    the portable XLA implementation; the fast path is the sparse event
-    kernel (`ops.init_kernels`) — same integers, same bits.  Returns
-    (scores0 [B, K, npos], e0 [B], peak [B]) — the same triple as
-    `encode_init_batched`.
+    fused form beat six separate plane convs 2.1x on hardware).
     """
-    x = m_int.astype(jnp.float32) * prev_scale[:, None, None]
-    e0 = jnp.sum(jnp.square(x), axis=(1, 2))
     d0 = ((m_int + 128) & 255) - 128
     r = (m_int - d0) >> 8
     d1 = ((r + 128) & 255) - 128
@@ -466,8 +456,59 @@ def encode_init_int_batched(
     rr = (lo + hi) + jnp.float32(4294967296.0) * o[..., 4].astype(jnp.float32)
     g = prev_scale * step.astype(jnp.float32)
     raw_scores = rr * g[:, None, None]  # [B, n_raw, npos]
+    return raw_scores, jnp.max(jnp.abs(raw_scores), axis=(1, 2))
+
+
+@jax.jit
+def int8_assemble_batched(
+    raw_scores: jax.Array,
+    peak_raw: jax.Array,
+    m_int: jax.Array,
+    prev_scale: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared epilogue of the int8 init: append the singleton passthrough
+    rows (exact scaled-map rows — `oracle.mp.int8_init_scores` docstring),
+    compute the block energies, and fold the raw-row peak with the
+    singleton peak (max is exact, so the combined value equals a single
+    max over the concatenated rows bit-for-bit).  ONE jit shared by the
+    dense conv producer and the sparse event kernel, so e0's f32 reduction
+    runs as the same compiled program on both paths."""
+    x = m_int.astype(jnp.float32) * prev_scale[:, None, None]
+    e0 = jnp.sum(jnp.square(x), axis=(1, 2))
     npos = raw_scores.shape[2]
     sing = x[:, :npos, :].transpose(0, 2, 1)  # [B, C, npos] exact passthrough
     scores0 = jnp.concatenate([raw_scores, sing], axis=1)
-    peak = jnp.max(jnp.abs(scores0), axis=(1, 2))
+    peak = jnp.maximum(peak_raw, jnp.max(jnp.abs(sing), axis=(1, 2)))
     return scores0, e0, peak
+
+
+def encode_init_int_batched(
+    m_int: jax.Array,
+    prev_scale: jax.Array,
+    bank_planes: jax.Array,
+    step: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact int8 digit-plane init for levels >= 1 (hier_init='int8') —
+    bitwise `oracle.mp.int8_init_scores` per block, with NO cross-backend
+    injection needed (integer accumulation is order-free; the f32
+    recombination uses only correctly-rounded conversions and exact
+    power-of-two products — see the oracle docstring for the argument).
+
+    ``m_int [B, N, C]`` int32 exact feature maps (`feature_map_int_jax`),
+    ``prev_scale [B]`` f32 (the emitting level's quantizer scales),
+    ``bank_planes [n_raw, W, C, 2]`` int8 balanced digits of the
+    `bank_quantize_int16` codes of the RAW sub-bank, ``step`` f32 scalar
+    from the same.  Singleton rows (the trailing C atoms of the augmented
+    bank) are exact unit-delta passthroughs of the scaled map — see the
+    oracle docstring for why they bypass the quantized bank.
+
+    Composes the dense conv producer (`encode_init_int_raw`) with the
+    shared assemble (`int8_assemble_batched`); the fast path is the sparse
+    event kernel (`ops.init_kernels`) feeding the SAME assemble — same
+    integers, same bits.  Returns (scores0 [B, K, npos], e0 [B], peak [B])
+    — the same triple as `encode_init_batched`.
+    """
+    raw_scores, peak_raw = encode_init_int_raw(
+        m_int, prev_scale, bank_planes, step
+    )
+    return int8_assemble_batched(raw_scores, peak_raw, m_int, prev_scale)

@@ -142,7 +142,8 @@ def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
     def _push(level, xb):
         mp = coder.coders[level].mp
         if mp.int8_init:
-            # xb = (int32 maps, scales) from the integer hand-off
+            # xb = (int32 maps, scales, events) from the integer hand-off;
+            # the events select the sparse init kernel on the pallas backend
             s0, e0, peak = mp.init_int_batched(*xb)
         else:
             s0, e0, peak = encode_init_batched(xb, mp.bank)
@@ -164,7 +165,11 @@ def encode_hierarchical_batches_pipelined(batches, coder, window: int = 4):
             if coder.coders[level + 1].mp.int8_init:
                 _push(
                     level + 1,
-                    (coder.fmap_int_batched(level)(enc), enc.scale),
+                    (
+                        coder.fmap_int_batched(level)(enc),
+                        enc.scale,
+                        (enc.positions, enc.atoms, enc.codes, enc.count),
+                    ),
                 )
             else:
                 _push(level + 1, coder.fmap_batched(level)(enc))

@@ -135,7 +135,11 @@ def main():
         if level + 1 < cfg.num_levels:
             if coder.coders[level + 1].mp.int8_init:
                 level_inputs.append(
-                    (coder.fmap_int_batched(level)(enc), enc.scale)
+                    (
+                        coder.fmap_int_batched(level)(enc),
+                        enc.scale,
+                        (enc.positions, enc.atoms, enc.codes, enc.count),
+                    )
                 )
             else:
                 level_inputs.append(coder.fmap_batched(level)(enc))

@@ -248,6 +248,34 @@ def main():
             )
     check("hierarchical ns=8 sweep streams == pinned oracle", ok)
 
+    # ---- 3c. sparse init kernel vs dense int8 conv, direct (bitwise) ------
+    # Checks 3/3b already route the level-1 init through the sparse event
+    # kernel (backend pallas + supported geometry); this pins the kernel's
+    # RAW OUTPUT against the dense producer on hardware with no greedy-loop
+    # indirection — the first place a recombination/placement bug shows.
+    from hsc_tpu.ops.init_kernels import sparse_init_supported
+
+    mp1 = coder.coders[1].mp
+    assert mp1.int8_init and sparse_init_supported(
+        cfg2.counts[1], cfg2.window_sizes[1], cfg2.channels[1],
+        cfg2.num_positions(1),
+    )
+    enc0 = coder.coders[0].mp.compute_coefficients_batch(
+        jnp.asarray(xs2)[:, :, None]
+    )
+    m_int1 = coder.fmap_int_batched(0)(enc0)
+    ev = (enc0.positions, enc0.atoms, enc0.codes, enc0.count)
+    t0 = time.time()
+    tri_s = jax.device_get(mp1.init_int_batched(m_int1, enc0.scale, ev))
+    tri_d = jax.device_get(mp1.init_int_batched(m_int1, enc0.scale))
+    print(f"sparse-vs-dense init: {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+    ok = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(tri_s, tri_d)
+    )
+    check("sparse init kernel triple == dense int8 conv (bitwise)", ok)
+
     blob_dev = pack_corpus(cfg2, [[(1, batch[b][1])] for b in range(4)])
     blob_ref = pack_corpus(
         cfg2, [[(1, oracle_hierarchical_pinned(xs2[b], mld2)[1])] for b in range(4)]

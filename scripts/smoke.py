@@ -54,7 +54,34 @@ def main() -> int:
             np.testing.assert_array_equal(
                 np.asarray(getattr(pk, fld)[b]), np.asarray(getattr(ref, fld))
             )
-    print(f"[smoke] 1/3 pallas dispatch + bitwise vs XLA ok "
+    print(f"[smoke] 1/4 pallas dispatch + bitwise vs XLA ok "
+          f"({time.perf_counter() - t_start:.1f}s)", flush=True)
+
+    # -- 1b. sparse int8 init kernel through its production dispatch --------
+    # (init_int_batched(..., events) -> ops.init_kernels -> shared assemble;
+    # a kernel-signature/dispatch mismatch must fail HERE, not on hardware)
+    from hsc_tpu.config import CodecConfig
+    from hsc_tpu.models.coder import HierarchicalConvolutionalSparseCoder
+    from hsc_tpu.ops.init_kernels import sparse_init_supported
+
+    hcfg = CodecConfig(counts=(12, 6), scales=(12, 18), block_size=512,
+                       num_coefs=(40, 24), num_select=1)
+    assert hcfg.hier_init == "int8"
+    assert sparse_init_supported(
+        hcfg.counts[1], hcfg.window_sizes[1], hcfg.channels[1],
+        hcfg.num_positions(1),
+    )
+    hmld = MultilevelDictionary.generate(hcfg, seed=7)
+    hx = np.random.default_rng(5).standard_normal(
+        (2, hcfg.block_size)).astype(np.float32)
+    hw = HierarchicalConvolutionalSparseCoder(hmld, backend="pallas_interpret")
+    hj = HierarchicalConvolutionalSparseCoder(hmld, backend="jax")
+    for gb, wb in zip(hw.encode_batch(hx), hj.encode_batch(hx)):
+        for g, w in zip(gb, wb):
+            np.testing.assert_array_equal(g.positions, w.positions)
+            np.testing.assert_array_equal(g.codes, w.codes)
+            assert np.float32(g.scale) == np.float32(w.scale)
+    print(f"[smoke] 2/4 sparse init kernel dispatch + hier bitwise ok "
           f"({time.perf_counter() - t_start:.1f}s)", flush=True)
 
     # -- 2. container round trip + oracle-bitwise decode, both modes --------
@@ -85,7 +112,7 @@ def main() -> int:
                 np.asarray(got[b]).reshape(-1),
                 np.asarray(want).astype(got.dtype).reshape(-1),
             )
-    print(f"[smoke] 2/3 container round trip + oracle decode ok "
+    print(f"[smoke] 3/4 container round trip + oracle decode ok "
           f"({time.perf_counter() - t_start:.1f}s)", flush=True)
 
     # -- 3. bench entry points resolve (no run — just the import surface) ---
@@ -102,7 +129,7 @@ def main() -> int:
     import __graft_entry__  # noqa: F401  (driver entry must stay importable)
     import bench  # noqa: F401
 
-    print(f"[smoke] 3/3 bench/graft import surface ok "
+    print(f"[smoke] 4/4 bench/graft import surface ok "
           f"({time.perf_counter() - t_start:.1f}s)", flush=True)
     print(f"[smoke] PASS in {time.perf_counter() - t_start:.1f}s", flush=True)
     return 0
