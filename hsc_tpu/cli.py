@@ -87,11 +87,19 @@ def parse_args():
     p.add_argument("--tolerance-snr", type=float, default=None,
                    help="stop encoding a block at this SNR (dB)")
     p.add_argument("--target-bps", type=float, default=None,
-                   help="encode: constant-bitrate mode — per block, keep "
-                   "the largest greedy event prefix whose packed payload "
-                   "fits this many bits/sample (the prefix property makes "
-                   "any prefix a valid stream); --num-coefs stays the "
-                   "quality ceiling")
+                   help="encode: constant-bitrate mode — keep the largest "
+                   "greedy event prefixes whose packed payloads fit this "
+                   "many bits/sample (the prefix property makes any prefix "
+                   "a valid stream); --num-coefs stays the quality ceiling")
+    p.add_argument("--rate-mode", choices=["block", "corpus"],
+                   default="block",
+                   help="how --target-bps is allocated: 'block' (default) "
+                   "caps every block independently (hard per-block bound); "
+                   "'corpus' spends one corpus-wide budget by marginal SNR "
+                   "per byte — easy blocks donate spare bytes to hard ones "
+                   "(+1 dB corpus SNR on mixed speech/music/silence "
+                   "corpora; prefer 'block' for homogeneous material — "
+                   "BASELINE 'Corpus-level CBR')")
     p.add_argument("--decode-mode", choices=["ordered", "integer"], default=None,
                    help="reconstruction arithmetic written into the stream "
                    "header: 'ordered' (sequential float32) or 'integer' "
@@ -228,6 +236,7 @@ def main():
         distributed=args.distributed,
         mesh=mesh,
         target_bps=args.target_bps,
+        rate_mode=args.rate_mode,
     )
 
     if args.command == "encode":
@@ -401,7 +410,9 @@ def _assemble(args) -> None:
         stored = f.read()
     # one parser for the fingerprint (config + :distributed + :cbr=...) —
     # runtime.journal_fingerprint is the one builder
-    config_json, distributed, target_bps = parse_journal_fingerprint(stored)
+    config_json, distributed, target_bps, rate_mode = (
+        parse_journal_fingerprint(stored)
+    )
     cfg = CodecConfig.from_json(config_json)
     # detect per-process journals by FILE, tolerating gaps (a host that died
     # before its first block leaves no file; its blocks surface in the
@@ -435,7 +446,7 @@ def _assemble(args) -> None:
         blob = assemble_container(
             cfg, jdir, n_blocks, n_proc,
             distributed=distributed, index=args.index,
-            target_bps=target_bps, fingerprint=stored,
+            target_bps=target_bps, fingerprint=stored, rate_mode=rate_mode,
         )
     except ValueError as e:  # e.g. blocks missing from every journal
         raise SystemExit(str(e))

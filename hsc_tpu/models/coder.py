@@ -194,10 +194,22 @@ class ConvolutionalMatchingPursuit:
         ``events`` — the emitting level's device event buffers
         ``(positions [B, M], atoms [B, M], codes [B, M], count [B])`` —
         selects the sparse event kernel (`ops.init_kernels`) on the pallas
-        backend when the geometry supports it: the init then costs
-        O(events) instead of O(N*C) dense MACs, and feeds the SAME shared
-        assemble jit, so the triple is bitwise the dense producer's."""
-        if events is not None and self.backend.startswith("pallas"):
+        backend when the geometry supports it AND ``HSC_TPU_SPARSE_INIT=1``:
+        the kernel does O(events) work and feeds the SAME shared assemble
+        jit, so the triple is bitwise the dense producer's — but the
+        per-event serial vector RMW structure measured 823 ms vs the dense
+        int8 conv's 5.4 ms per 64-block batch on hardware (BASELINE
+        "hierarchical speed-of-light": TC kernels cannot retire serial
+        scatter at rate; the MXU dense form wins), so the dense producer
+        is the production path and the kernel is a kept, hardware-bitwise
+        negative result."""
+        import os as _os
+
+        if (
+            events is not None
+            and self.backend.startswith("pallas")
+            and _os.environ.get("HSC_TPU_SPARSE_INIT") == "1"
+        ):
             from ..ops.init_kernels import (
                 aggregate_codes,
                 sparse_init_raw_pallas,

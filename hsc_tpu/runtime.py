@@ -48,40 +48,231 @@ def parse_journal_name(base: str) -> int | None:
 
 def journal_fingerprint(
     cfg: CodecConfig, distributed: bool = False,
-    target_bps: float | None = None,
+    target_bps: float | None = None, rate_mode: str = "block",
 ) -> str:
     """The journal's resume fingerprint: everything that changes journaled
     PAYLOAD bytes beyond the codec config — the distributed representation
     and the constant-bitrate budget.  ONE builder (and one parser below) so
     the writers (CorpusEncoder) and the readers (assemble_container, CLI
     `assemble`) can never diverge again — round 4's first CBR cut built the
-    suffix in __init__ only and broke both assembly paths."""
+    suffix in __init__ only and broke both assembly paths.
+
+    rate_mode='corpus' journals carry ':cbrc=' instead of ':cbr=' — their
+    payload BYTES are full-rate TOP-FORM block records (truncation and the
+    distributed split happen at container assembly), so the suffix also
+    tells assembly what emission work remains.  ':distributed' is still
+    recorded (it names the emission form, not the journal bytes, in this
+    mode)."""
     s = cfg.to_json()
     if distributed:
         s += ":distributed"
     if target_bps is not None:
         # normalize here, not at call sites: an int-typed rate (natural for
         # whole-number bps) must fingerprint identically to its float form
-        s += f":cbr={float(target_bps)!r}"
+        tag = "cbrc" if rate_mode == "corpus" else "cbr"
+        s += f":{tag}={float(target_bps)!r}"
     return s
 
 
 def parse_journal_fingerprint(stored: str):
     """Inverse of `journal_fingerprint`:
-    (config_json, distributed, target_bps).
+    (config_json, distributed, target_bps, rate_mode).
 
     Anchored on the SUFFIX (the config JSON comes first and could in
     principle grow a field containing ':cbr=' as a literal — a substring
     test would mis-split it).  The config JSON always ends in '}', which is
     excluded from the cbr value charset, so the suffix match can never eat
     into the JSON."""
-    m = re.search(r"(:distributed)?(?::cbr=([^:}]+))?$", stored)
-    t = m.group(2)
+    m = re.search(r"(:distributed)?(?::(cbr|cbrc)=([^:}]+))?$", stored)
+    t = m.group(3)
     return (
         stored[: m.start()],
         m.group(1) is not None,
         float(t) if t is not None else None,
+        "corpus" if m.group(2) == "cbrc" else "block",
     )
+
+
+def _prefix_stream(stream, k: int):
+    """The first-k-events greedy prefix of a stream (a valid stream itself —
+    the prefix property: the first k events of a budget-N encode ARE the
+    budget-k encode).  Truncated prefixes carry unknown residual energy —
+    zeroed, matching unpacked streams (energies are never serialized)."""
+    from .oracle.mp import LevelStream
+
+    if k >= int(stream.positions.shape[0]):
+        return stream
+    return LevelStream(
+        positions=stream.positions[:k],
+        atoms=stream.atoms[:k],
+        codes=stream.codes[:k],
+        scale=np.float32(stream.scale),
+        energy0=0.0,
+        energy_res=0.0,
+    )
+
+
+def allocate_corpus_prefixes(
+    streams: list, budget: int, emit
+) -> tuple[list[bytes], list[int]]:
+    """Corpus-level constant-bitrate allocation (rate_mode='corpus').
+
+    Chooses per-block greedy-prefix lengths ``k_b`` maximizing explained
+    energy subject to ``sum(len(emit(prefix_b(k_b)))) <= budget``.  The
+    per-event energy decrement is ``(code*scale)^2`` (greedy MP's own
+    acceptance metric), but the per-event gain SEQUENCE is not monotone —
+    num_select sweeps accept events in batches whose stored order zigzags
+    (measured: ~48% of successive gains increase on the music corpus) — so
+    an event-at-a-time frontier greedy cuts blocks at local dips and loses
+    the high-gain events behind them (it measured BELOW uniform per-block
+    CBR).  Instead, allocation runs on each block's UPPER CONCAVE ENVELOPE
+    of cumulative gain vs bytes (the classic R-D allocation): hull
+    segments from every block merge in decreasing gain-per-byte order, so
+    a dip-then-peak run is taken or dropped as one unit.  Bytes are
+    charged at the block's mean packed bytes/event during allocation
+    (exact for 'fixed' entropy up to the ceil-to-byte; a few-byte wobble
+    for 'rice'), then an exact repair pass enforces the budget on REAL
+    packed sizes.  Easy blocks stop early and their spare bytes buy events
+    in hard blocks — the corpus-level completion of the per-block CBR in
+    `CorpusEncoder._pack_block` (SURVEY.md §2 C9: rate accounting is the
+    reference's axis).
+
+    Deterministic from the streams and `emit` alone: float64 gains, ties
+    broken by block index — identical allocations on every backend and on
+    resume.  Returns (payloads, prefix_lengths), block order preserved.
+    """
+    nb = len(streams)
+    packs: list[dict[int, bytes]] = [{} for _ in range(nb)]
+
+    def size(b: int, k: int) -> int:
+        d = packs[b]
+        if k not in d:
+            d[k] = emit(_prefix_stream(streams[b], k))
+        return len(d[k])
+
+    ns = [int(s.positions.shape[0]) for s in streams]
+    base = sum(size(b, 0) for b in range(nb))
+    if base > budget:
+        raise ValueError(
+            f"corpus budget {budget} bytes is below the empty-stream "
+            f"floor ({base} bytes for {nb} blocks)"
+        )
+    gains = [
+        (s.codes.astype(np.float64) * np.float64(s.scale)) ** 2
+        for s in streams
+    ]
+    # mean bytes/event from one full pack
+    est = [
+        max((size(b, ns[b]) - size(b, 0)) / ns[b], 1e-9) if ns[b] else 1.0
+        for b in range(nb)
+    ]
+    # upper concave hull of each block's (k, cumulative gain) polyline;
+    # segments carry their mean gain-per-byte as the merge key
+    segments = []  # (-gain_per_byte, b, k_from, k_to)
+    for b in range(nb):
+        if not ns[b]:
+            continue
+        cum = np.concatenate([[0.0], np.cumsum(gains[b])])
+        hull = [0]
+        for j in range(1, len(cum)):
+            while len(hull) >= 2:
+                a, m = hull[-2], hull[-1]
+                # pop m while it lies on/below chord a->j (keeps slopes
+                # strictly decreasing along the hull)
+                if (cum[m] - cum[a]) * (j - m) <= (cum[j] - cum[m]) * (m - a):
+                    hull.pop()
+                else:
+                    break
+            hull.append(j)
+        for a, j in zip(hull, hull[1:]):
+            slope = (cum[j] - cum[a]) / ((j - a) * est[b])
+            segments.append((-slope, b, a, j))
+    segments.sort()
+
+    k = [0] * nb
+    spend = float(base)
+    for negs, b, a, j in segments:
+        if k[b] != a:
+            continue  # an earlier boundary cut this block mid-hull
+        cost = (j - a) * est[b]
+        if spend + cost <= budget:
+            k[b] = j
+            spend += cost
+        else:
+            take = int((budget - spend) // est[b])
+            if take > 0:
+                k[b] = a + take
+                spend += take * est[b]
+
+    # exact repair on real packed sizes
+    total = sum(size(b, k[b]) for b in range(nb))
+    while total > budget:
+        # drop the lowest-ratio frontier event
+        _, b = min(
+            (gains[b][k[b] - 1] / max(est[b], 1e-9), b)
+            for b in range(nb)
+            if k[b] > 0
+        )
+        total -= size(b, k[b]) - size(b, k[b] - 1)
+        k[b] -= 1
+    closed: set[int] = set()
+    while len(closed) < 8:  # bounded growth pass (rice wobble is small)
+        cands = [
+            (-gains[b][k[b]] / max(est[b], 1e-9), b)
+            for b in range(nb)
+            if k[b] < ns[b] and b not in closed
+        ]
+        if not cands:
+            break
+        _, b = min(cands)
+        delta = size(b, k[b] + 1) - size(b, k[b])
+        if total + delta <= budget:
+            total += delta
+            k[b] += 1
+        else:
+            closed.add(b)
+    return [packs[b][k[b]] for b in range(nb)], k
+
+
+def apply_corpus_cbr(
+    cfg: CodecConfig,
+    records: list[bytes],
+    target_bps: float,
+    distributed: bool = False,
+) -> list[bytes]:
+    """Re-emit full-rate TOP-FORM block records under a corpus-level
+    constant-bitrate budget (``target_bps * block_size * n_blocks / 8``
+    bytes across the whole block region): unpack each record's top stream,
+    allocate prefixes corpus-wide (`allocate_corpus_prefixes`), and pack
+    the chosen prefixes in the EMISSION form (distributed split applied
+    here — the greedy prefix order only exists on the top stream, which is
+    why corpus-mode journals store top form).  Format-invisible: the
+    output records are ordinary block records."""
+    from .oracle.mp import to_distributed
+
+    top = cfg.num_levels - 1
+    streams = []
+    for rec in records:
+        parts, _ = unpack_block(cfg, rec, 0)
+        if len(parts) != 1 or parts[0][0] != top:
+            raise ValueError(
+                "corpus-rate allocation needs top-form records (one "
+                f"level-{top} stream per block); got "
+                f"{[lv for lv, _ in parts]}"
+            )
+        streams.append(parts[0][1])
+
+    def emit(stream) -> bytes:
+        if distributed and cfg.num_levels > 1:
+            parts = to_distributed(cfg, stream)
+            return struct.pack("<B", len(parts)) + b"".join(
+                pack_stream(cfg, level, s) for level, s in parts
+            )
+        return struct.pack("<B", 1) + pack_stream(cfg, top, stream)
+
+    budget = int(target_bps * cfg.block_size * len(records) / 8)
+    payloads, _ = allocate_corpus_prefixes(streams, budget, emit)
+    return payloads
 
 
 def _join_container(
@@ -119,6 +310,7 @@ def assemble_container(
     index: bool = False,
     target_bps: float | None = None,
     fingerprint: str | None = None,
+    rate_mode: str = "block",
 ) -> bytes:
     """Process-0 container assembly from per-process journals (SURVEY.md
     §2.3 P9: each process journals its own shard under GLOBAL block ids;
@@ -133,9 +325,14 @@ def assemble_container(
     VERBATIM (callers that read it from a journal's .config should pass it
     through rather than rebuilding it from the parsed config — a JSON
     re-serialization round trip is not guaranteed byte-stable across
-    versions)."""
+    versions).
+
+    `rate_mode='corpus'` journals hold full-rate top-form records; the
+    corpus-level budget is applied HERE (`apply_corpus_cbr`) — the global
+    allocation runs across every process's shard, so multi-host corpora
+    get the same corpus-wide rate allocation a single-host encode does."""
     if fingerprint is None:
-        fingerprint = journal_fingerprint(cfg, distributed, target_bps)
+        fingerprint = journal_fingerprint(cfg, distributed, target_bps, rate_mode)
     journals = [
         EncodeJournal(
             journal_dir,
@@ -157,9 +354,12 @@ def assemble_container(
             raise ValueError(
                 f"blocks not yet encoded in any journal: {missing[:8]}..."
             )
-        return _join_container(
-            cfg, (owner[b].read(b) for b in range(n_blocks)), n_blocks, index
-        )
+        records = (owner[b].read(b) for b in range(n_blocks))
+        if rate_mode == "corpus" and target_bps is not None:
+            records = apply_corpus_cbr(
+                cfg, list(records), target_bps, distributed
+            )
+        return _join_container(cfg, records, n_blocks, index)
     finally:
         for j in journals:
             j.close()
@@ -181,6 +381,7 @@ class CorpusEncoder:
         mesh_axis: str = "data",
         distributed: bool = False,
         target_bps: float | None = None,
+        rate_mode: str = "block",
     ):
         # mesh: shard encode batches over mesh_axis (data parallelism,
         # parallel/dp.py) — every level of the hierarchy runs under the mesh,
@@ -188,12 +389,19 @@ class CorpusEncoder:
         # distributed: emit the distributed representation (each event stored
         # at the level where its atom is raw — oracle.mp.to_distributed)
         # instead of the top-level-only stream.
-        # target_bps: constant-bitrate mode — per block, keep the largest
-        # greedy event PREFIX whose packed payload fits target_bps *
-        # block_size / 8 bytes (the prefix property makes any prefix a valid
-        # stream: the first k events of a budget-N encode ARE the budget-k
-        # encode).  num_coefs stays the quality ceiling; blocks cheaper than
-        # the budget are stored whole.
+        # target_bps: constant-bitrate mode — keep the largest greedy event
+        # PREFIXES whose packed payloads fit the byte budget (the prefix
+        # property makes any prefix a valid stream: the first k events of a
+        # budget-N encode ARE the budget-k encode).  num_coefs stays the
+        # quality ceiling; corpora cheaper than the budget are stored whole.
+        # rate_mode: how the target_bps budget is allocated —
+        #   'block'  — each block independently fits target_bps * block_size
+        #              / 8 bytes (hard per-block cap; streaming-friendly);
+        #   'corpus' — one corpus-wide budget, allocated across blocks by
+        #              marginal-SNR-per-byte (allocate_corpus_prefixes):
+        #              easy blocks donate spare bytes to hard ones.  Blocks
+        #              journal FULL top-form payloads; truncation (and the
+        #              distributed split) happen at container assembly.
         self.mld = mld
         self.cfg: CodecConfig = mld.config
         self.coder = HierarchicalConvolutionalSparseCoder(mld, backend=backend)
@@ -202,6 +410,9 @@ class CorpusEncoder:
         if target_bps is not None and not target_bps > 0:
             raise ValueError("target_bps must be positive")
         self.target_bps = float(target_bps) if target_bps is not None else None
+        if rate_mode not in ("block", "corpus"):
+            raise ValueError("rate_mode must be 'block' or 'corpus'")
+        self.rate_mode = rate_mode
         self.process_index = int(process_index)
         self.journal = (
             EncodeJournal(
@@ -211,7 +422,8 @@ class CorpusEncoder:
                 # fingerprint: a journal written at another rate must not be
                 # silently extended at this one
                 config_json=journal_fingerprint(
-                    self.cfg, self.distributed, self.target_bps
+                    self.cfg, self.distributed, self.target_bps,
+                    self.rate_mode,
                 ),
             )
             if journal_dir is not None
@@ -246,31 +458,30 @@ class CorpusEncoder:
 
     def _pack_block(self, top_stream) -> tuple[bytes, int]:
         """Pack one block -> (payload, stored event count).  Under
-        `target_bps`, constant-bitrate truncation first: bisect the
-        event-prefix length on the FULL per-block payload size (so
-        distributed per-level headers and rice variable-length coding are
-        charged exactly).  Packed blobs are memoized per probed k, so the
-        chosen prefix is never packed twice."""
+        `target_bps` with rate_mode='block', constant-bitrate truncation
+        first: bisect the event-prefix length on the FULL per-block payload
+        size (so distributed per-level headers and rice variable-length
+        coding are charged exactly).  Packed blobs are memoized per probed
+        k, so the chosen prefix is never packed twice.
+
+        rate_mode='corpus' packs the FULL stream in TOP form here (the
+        journal/payload representation); the corpus-wide allocation and the
+        distributed split run at container assembly (`apply_corpus_cbr`) —
+        the greedy prefix order only exists on the top stream."""
         n = int(top_stream.positions.shape[0])
+        if self.target_bps is not None and self.rate_mode == "corpus":
+            top = self.cfg.num_levels - 1
+            return (
+                struct.pack("<B", 1) + pack_stream(self.cfg, top, top_stream),
+                n,
+            )
         if self.target_bps is None:
             return self._pack_block_raw(top_stream), n
-        from .oracle.mp import LevelStream
 
         budget = int(self.target_bps * self.cfg.block_size / 8)
 
         def prefix(k: int):
-            if k >= n:
-                return top_stream
-            # truncated prefixes carry unknown residual energy — zeroed,
-            # matching unpacked streams (energies are never serialized)
-            return LevelStream(
-                positions=top_stream.positions[:k],
-                atoms=top_stream.atoms[:k],
-                codes=top_stream.codes[:k],
-                scale=np.float32(top_stream.scale),
-                energy0=0.0,
-                energy_res=0.0,
-            )
+            return _prefix_stream(top_stream, k)
 
         blobs: dict[int, bytes] = {}
 
@@ -433,15 +644,27 @@ class CorpusEncoder:
         payloads: dict[int, bytes] = {}
         self._compute_payloads(blocks, todo, payloads)
 
-        return _join_container(
-            self.cfg,
-            (
-                payloads[b] if b in payloads else self.journal.read(b)
-                for b in range(nb)
-            ),
-            nb,
-            index,
+        records = (
+            payloads[b] if b in payloads else self.journal.read(b)
+            for b in range(nb)
         )
+        if self.target_bps is not None and self.rate_mode == "corpus":
+            full = list(records)
+            records = apply_corpus_cbr(
+                self.cfg, full, self.target_bps, self.distributed
+            )
+            self.metrics.log(
+                {
+                    "kind": "corpus_cbr",
+                    "blocks": nb,
+                    "budget_bytes": int(
+                        self.target_bps * self.cfg.block_size * nb / 8
+                    ),
+                    "emitted_bytes": sum(len(r) for r in records),
+                    "full_bytes": sum(len(r) for r in full),
+                }
+            )
+        return _join_container(self.cfg, records, nb, index)
 
     # -- multi-host orchestration (SURVEY.md §2.3 P9) -----------------------
 
@@ -504,6 +727,7 @@ class CorpusEncoder:
                 n_proc,
                 distributed=self.distributed,
                 target_bps=self.target_bps,
+                rate_mode=self.rate_mode,
             )
         return None
 

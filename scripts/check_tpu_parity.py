@@ -282,7 +282,11 @@ def main():
     )
     check("packed corpus bytes identical", blob_dev == blob_ref)
 
-    recon_dev = np.stack([coder.reconstruct(batch[b][1]) for b in range(4)])
+    # mode pinned: this check targets the ORDERED decode path (the default
+    # is 'auto' -> integer since round 5; check 5 covers that mode)
+    recon_dev = np.stack(
+        [coder.reconstruct(batch[b][1], mode="ordered") for b in range(4)]
+    )
     reps = mld2.representations(1)[:, :, None]
     recon_ref = np.stack(
         [mp_decode(batch[b][1], reps, cfg2.block_size)[:, 0] for b in range(4)]
@@ -290,7 +294,9 @@ def main():
     check("TPU decode bytes == oracle decode bytes", recon_dev.tobytes() == recon_ref.tobytes())
 
     # batched decode parity with single decode
-    recon_b = coder.reconstruct_batch([batch[b][1] for b in range(4)])
+    recon_b = coder.reconstruct_batch(
+        [batch[b][1] for b in range(4)], mode="ordered"
+    )
     check("batched decode == per-block decode", recon_b.tobytes() == recon_dev.tobytes())
 
     # ---- 4b. runtime (P3 level-pipelined) container == serial pack --------
@@ -349,7 +355,9 @@ def main():
     check("3-level device streams == pinned oracle (all levels)", ok)
 
     reps3 = mld3.representations(2)[:, :, None]
-    rec3_dev = np.stack([coder3.reconstruct(batch3[b][2]) for b in range(2)])
+    rec3_dev = np.stack(
+        [coder3.reconstruct(batch3[b][2], mode="ordered") for b in range(2)]
+    )
     rec3_ref = np.stack(
         [mp_decode(batch3[b][2], reps3, cfg3.block_size)[:, 0] for b in range(2)]
     )

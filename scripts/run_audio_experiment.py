@@ -56,8 +56,13 @@ def parse_args():
                    help="corpus prefix used for the (oracle-run) R-D sweep")
     p.add_argument("--entropy", choices=["fixed", "rice"], default="rice")
     p.add_argument("--target-bps", type=float, default=None,
-                   help="constant-bitrate mode: per-block greedy-prefix "
-                   "truncation to this bits/sample budget")
+                   help="constant-bitrate mode: greedy-prefix truncation "
+                   "to this bits/sample budget")
+    p.add_argument("--rate-mode", choices=["block", "corpus"],
+                   default="block",
+                   help="--target-bps allocation: a hard per-block cap "
+                   "(block) or one corpus-wide budget by marginal SNR/byte "
+                   "(corpus — wins on heterogeneous corpora)")
     p.add_argument("--decode-mode", choices=["ordered", "integer"],
                    default="ordered")
     return p.parse_args()
@@ -149,7 +154,7 @@ def main():
     encoder = CorpusEncoder(
         learned, backend=args.backend,
         metrics_path=os.path.join(args.outdir, "metrics.jsonl"),
-        target_bps=args.target_bps,
+        target_bps=args.target_bps, rate_mode=args.rate_mode,
     )
     blob = encoder.encode(corpus)
     with open(os.path.join(args.outdir, "corpus.hsct"), "wb") as f:
@@ -176,6 +181,11 @@ def main():
         "bits_per_sample": rates["bits_per_sample"],
         "compression_ratio": rates["compression_ratio"],
         "mean_snr_db": float(np.mean(snrs)),
+        # energy-weighted corpus SNR — the criterion rate_mode='corpus'
+        # CBR allocation maximizes (total explained energy at the budget)
+        "corpus_snr_db": float(
+            snr_db(corpus.reshape(-1), decoded.reshape(-1))
+        ),
         "roundtrip_byte_identity": True,
     }
     print(

@@ -74,6 +74,9 @@ def main() -> int:
     hmld = MultilevelDictionary.generate(hcfg, seed=7)
     hx = np.random.default_rng(5).standard_normal(
         (2, hcfg.block_size)).astype(np.float32)
+    # the sparse kernel is opt-in (dense int8 conv is the production init —
+    # BASELINE); force it on so its dispatch chain is traced pre-commit
+    os.environ["HSC_TPU_SPARSE_INIT"] = "1"
     hw = HierarchicalConvolutionalSparseCoder(hmld, backend="pallas_interpret")
     hj = HierarchicalConvolutionalSparseCoder(hmld, backend="jax")
     for gb, wb in zip(hw.encode_batch(hx), hj.encode_batch(hx)):
@@ -81,6 +84,7 @@ def main() -> int:
             np.testing.assert_array_equal(g.positions, w.positions)
             np.testing.assert_array_equal(g.codes, w.codes)
             assert np.float32(g.scale) == np.float32(w.scale)
+    os.environ.pop("HSC_TPU_SPARSE_INIT", None)
     print(f"[smoke] 2/4 sparse init kernel dispatch + hier bitwise ok "
           f"({time.perf_counter() - t_start:.1f}s)", flush=True)
 

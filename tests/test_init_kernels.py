@@ -162,10 +162,13 @@ def test_sparse_supported_gate():
     assert not sparse_init_supported(4096, 64, 512, 1 << 20)
 
 
-def test_hierarchical_sparse_path_matches_jax():
+def test_hierarchical_sparse_path_matches_jax(monkeypatch):
     """End-to-end: the pallas_interpret hierarchical encoder (sparse init +
     interpret greedy kernel) emits the same streams as the XLA path through
-    the production dispatch (`init_int_batched(..., events)`)."""
+    the production dispatch (`init_int_batched(..., events)` with
+    HSC_TPU_SPARSE_INIT=1 — the kernel is opt-in: it is hardware-bitwise
+    but measured 150x slower than the dense int8 conv, BASELINE)."""
+    monkeypatch.setenv("HSC_TPU_SPARSE_INIT", "1")
     cfg = CodecConfig(counts=(12, 6), scales=(12, 18), block_size=512,
                       num_coefs=(40, 24), num_select=1)
     assert cfg.hier_init == "int8"

@@ -661,6 +661,172 @@ def test_multihost_assembly_with_target_bps(tmp_path, mld1):
     )
 
 
+def _hetero_corpus(mld, nb=6, seed=81):
+    """A corpus with EASY and HARD blocks (event rates 10x apart) — the
+    scenario where per-block CBR strands budget on easy blocks."""
+    gen_e = SignalGenerator(mld, rates=8e-4)
+    gen_h = SignalGenerator(mld, rates=8e-3)
+    xs_e = gen_e.generate_signals(nb // 2, mld.config.block_size, seed=seed)
+    xs_h = gen_h.generate_signals(nb - nb // 2, mld.config.block_size,
+                                  seed=seed + 1)
+    return np.concatenate([xs_e, xs_h])
+
+
+def test_corpus_rate_mode_allocation(mld1):
+    """rate_mode='corpus': ONE corpus-wide budget, allocated by marginal
+    SNR per byte — total block-region bytes fit the budget, every block is
+    a greedy prefix of the full encode, and the corpus SNR at equal
+    target_bps beats per-block CBR on a heterogeneous corpus (easy blocks
+    donate spare bytes to hard ones)."""
+    from hsc_tpu.io import iter_blocks, scan_block_offsets
+
+    xs = _hetero_corpus(mld1)
+    nb = xs.shape[0]
+    cfg = mld1.config
+    target = 0.4
+    budget = int(target * cfg.block_size * nb / 8)
+
+    full = CorpusEncoder(mld1, backend="jax", batch_size=2)
+    blob_full = full.encode(xs)
+    corpus = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=target,
+        rate_mode="corpus",
+    )
+    blob_c = corpus.encode(xs)
+    block = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=target,
+        rate_mode="block",
+    )
+    blob_b = block.encode(xs)
+
+    # corpus-wide budget respected on the block region
+    _, offs = scan_block_offsets(blob_c)
+    assert int(offs[-1] - offs[0]) <= budget
+    # every emitted stream is a greedy prefix of the unconstrained encode
+    full_blocks = list(iter_blocks(blob_full))
+    ks = []
+    for b, streams in enumerate(iter_blocks(blob_c)):
+        (_, s), = streams
+        (_, fs), = full_blocks[b]
+        k = s.positions.shape[0]
+        ks.append((k, fs.positions.shape[0]))
+        np.testing.assert_array_equal(s.positions, fs.positions[:k])
+        np.testing.assert_array_equal(s.codes, fs.codes[:k])
+    # allocation is NON-uniform: easy blocks' late events have tiny gains
+    # (MP fills the num_coefs budget regardless), so they donate events to
+    # the hard half (that's the reallocation working)
+    k_easy = np.mean([k for k, _ in ks[: nb // 2]])
+    k_hard = np.mean([k for k, _ in ks[nb // 2 :]])
+    assert k_easy < k_hard
+    assert any(k < n for k, n in ks)
+    # equal-rate quality: corpus allocation beats per-block CBR on CORPUS
+    # SNR (total explained energy — the criterion the allocator maximizes;
+    # mean per-block SNR is scale-invariant per block, so energy-optimal
+    # reallocation away from near-silent blocks can lower it by design)
+    dec_c = corpus.decode(blob_c)
+    dec_b = block.decode(blob_b)
+    snr_c = snr_db(xs.reshape(-1), dec_c.reshape(-1))
+    snr_b = snr_db(xs.reshape(-1), dec_b.reshape(-1))
+    assert snr_c > snr_b
+    # and it actually uses the budget headroom per-block CBR strands
+    assert len(blob_c) >= len(blob_b)
+
+    # generous budget: byte-identical to the unconstrained container
+    loose = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=64.0,
+        rate_mode="corpus",
+    )
+    assert loose.encode(xs) == blob_full
+
+    # below the corpus floor -> clean error
+    with pytest.raises(ValueError, match="floor"):
+        CorpusEncoder(
+            mld1, backend="jax", batch_size=2, target_bps=1e-4,
+            rate_mode="corpus",
+        ).encode(xs)
+
+
+def test_corpus_rate_mode_journal_and_multihost(tmp_path, mld1):
+    """Corpus-mode journals hold FULL top-form payloads (truncation at
+    assembly): resume is byte-identical, a different rate is refused (the
+    :cbrc= fingerprint), and multi-host shard journals assemble with the
+    GLOBAL corpus allocation — byte-identical to the single-host encode."""
+    from hsc_tpu.runtime import assemble_container
+
+    xs = _hetero_corpus(mld1, nb=4, seed=91)
+    cfg = mld1.config
+    target = 0.4
+    j = str(tmp_path / "cc")
+    enc = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=target,
+        rate_mode="corpus", journal_dir=j,
+    )
+    blob = enc.encode(xs)
+    # journal records are FULL streams (rate applied only at assembly)
+    full = CorpusEncoder(mld1, backend="jax", batch_size=2).encode(xs)
+    assert len(blob) < len(full)
+    from hsc_tpu.io import iter_blocks
+
+    for rec, streams in zip(
+        (enc.journal.read(b) for b in range(4)), iter_blocks(full)
+    ):
+        (_, fs), = streams
+        from hsc_tpu.io.bitstream import unpack_block
+
+        (_, js), = unpack_block(cfg, rec, 0)[0]
+        assert js.positions.shape[0] == fs.positions.shape[0]
+    # resume: byte-identical, no recompute
+    enc2 = CorpusEncoder(
+        mld1, backend="jax", batch_size=2, target_bps=target,
+        rate_mode="corpus", journal_dir=j,
+    )
+    assert enc2.encode(xs) == blob
+    # another rate refuses the journal (cbrc= is part of the fingerprint)
+    with pytest.raises(ValueError, match="different codec config"):
+        CorpusEncoder(
+            mld1, backend="jax", batch_size=2, target_bps=0.8,
+            rate_mode="corpus", journal_dir=j,
+        )
+
+    # multihost: per-process shards, global allocation at assembly
+    jdir = str(tmp_path / "mh")
+    for p, sl in ((0, slice(0, 2)), (1, slice(2, 4))):
+        CorpusEncoder(
+            mld1, backend="jax", batch_size=2, journal_dir=jdir,
+            process_index=p, target_bps=target, rate_mode="corpus",
+        ).encode_shard(xs[sl], global_start=2 * p)
+    out = assemble_container(
+        cfg, jdir, 4, 2, target_bps=target, rate_mode="corpus"
+    )
+    assert out == blob
+
+
+def test_corpus_rate_mode_distributed(mld2):
+    """Corpus CBR composes with the distributed representation: journaled
+    payloads stay TOP form (the greedy prefix order lives there); the
+    budget is charged against the EMITTED distributed records; containers
+    decode."""
+    from hsc_tpu.io import iter_blocks, scan_block_offsets
+
+    gen = SignalGenerator(mld2, rates=[np.full(12, 4e-3), np.full(8, 1e-3)])
+    xs = gen.generate_signals(3, mld2.config.block_size, seed=78)
+    target = 1.0
+    enc = CorpusEncoder(
+        mld2, backend="jax", batch_size=2, distributed=True,
+        target_bps=target, rate_mode="corpus",
+    )
+    blob = enc.encode(xs)
+    cfgb = mld2.config
+    budget = int(target * cfgb.block_size * 3 / 8)
+    _, offs = scan_block_offsets(blob)
+    assert int(offs[-1] - offs[0]) <= budget
+    # distributed emission: blocks may carry several level streams
+    assert any(len(streams) > 1 for streams in iter_blocks(blob))
+    dec = enc.decode(blob)
+    assert dec.shape == (3, cfgb.block_size)
+    assert np.isfinite(dec).all()
+
+
 def test_journal_fingerprint_roundtrip(mld1):
     """The one builder/parser pair for the journal resume fingerprint:
     round trip over every flag combination, and int-typed rates fingerprint
@@ -676,13 +842,20 @@ def test_journal_fingerprint_roundtrip(mld1):
     cfg = mld1.config
     for distributed in (False, True):
         for bps in (None, 0.5, 1, 1.0):
-            fp = journal_fingerprint(cfg, distributed, bps)
-            cj, d2, t2 = parse_journal_fingerprint(fp)
-            assert cj == cfg.to_json()
-            assert d2 == distributed
-            assert t2 == (None if bps is None else float(bps))
+            for mode in ("block", "corpus"):
+                fp = journal_fingerprint(cfg, distributed, bps, mode)
+                cj, d2, t2, m2 = parse_journal_fingerprint(fp)
+                assert cj == cfg.to_json()
+                assert d2 == distributed
+                assert t2 == (None if bps is None else float(bps))
+                # mode is only observable when a rate is recorded
+                assert m2 == (mode if bps is not None else "block")
     assert journal_fingerprint(cfg, True, 1) == journal_fingerprint(
         cfg, True, 1.0
+    )
+    # the two rate modes journal DIFFERENT payload bytes -> distinct prints
+    assert journal_fingerprint(cfg, False, 0.5, "block") != (
+        journal_fingerprint(cfg, False, 0.5, "corpus")
     )
     # name scheme: builder/parser adjacency
     for p in (0, 1, 7, 23):
@@ -693,14 +866,18 @@ def test_journal_fingerprint_roundtrip(mld1):
     # config JSON must not be mis-split (the parse is anchored at the end;
     # config JSON always ends in '}')
     for fake_json in ('{"note":"x:cbr=2.0"}', '{"note":":distributed"}'):
-        cj, d2, t2 = parse_journal_fingerprint(fake_json)
-        assert (cj, d2, t2) == (fake_json, False, None)
-        cj, d2, t2 = parse_journal_fingerprint(fake_json + ":cbr=1.5")
-        assert (cj, d2, t2) == (fake_json, False, 1.5)
-        cj, d2, t2 = parse_journal_fingerprint(
+        cj, d2, t2, m2 = parse_journal_fingerprint(fake_json)
+        assert (cj, d2, t2, m2) == (fake_json, False, None, "block")
+        cj, d2, t2, m2 = parse_journal_fingerprint(fake_json + ":cbr=1.5")
+        assert (cj, d2, t2, m2) == (fake_json, False, 1.5, "block")
+        cj, d2, t2, m2 = parse_journal_fingerprint(
             fake_json + ":distributed:cbr=0.25"
         )
-        assert (cj, d2, t2) == (fake_json, True, 0.25)
+        assert (cj, d2, t2, m2) == (fake_json, True, 0.25, "block")
+        cj, d2, t2, m2 = parse_journal_fingerprint(
+            fake_json + ":distributed:cbrc=0.25"
+        )
+        assert (cj, d2, t2, m2) == (fake_json, True, 0.25, "corpus")
 
 
 def test_journal_peek_done_blocks_read_only(tmp_path):
