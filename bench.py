@@ -247,6 +247,39 @@ def main():
     log(f"tpu hierarchical encode: {best*1e3:.1f} ms for {HNB*HB} 2-level "
         f"blocks -> {hier_mbps:.1f} MB/s")
 
+    # ---- flagship-scale hierarchy (VERDICT r4 #1): level 0 = the flat
+    # flagship geometry (K=64, W=32, 16k blocks) plus a real level 1 -------
+    fcfg = make_test_config(
+        counts=(64, 32), scales=(32, 96), block_size=16384,
+        num_coefs=(512, 192), num_select=8,
+    )
+    fmld = MultilevelDictionary.generate(fcfg, seed=9)
+    fgen = SignalGenerator(fmld, rates=2e-3)
+    FB = 64 if on_tpu else 4
+    fxs = fgen.generate_signals(FB, fcfg.block_size, seed=5)
+    fxb = jnp.asarray(fxs)[:, :, None]
+    fcoder = HierarchicalConvolutionalSparseCoder(
+        fmld, backend="pallas" if on_tpu else "jax"
+    )
+    FNB = 8 if on_tpu else 2
+    fbatches = [fxb] * FNB
+
+    def run_hier_flagship():
+        outs = encode_hierarchical_batches_pipelined(fbatches, fcoder)
+        return jax.device_get([e.count for e in outs[-1]])
+
+    t0 = time.perf_counter()
+    run_hier_flagship()
+    log(f"hier flagship compile+run: {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_hier_flagship()
+        best = min(best, time.perf_counter() - t0)
+    hier_flag_mbps = FNB * FB * fcfg.block_size * 4 / 1e6 / best
+    log(f"tpu hierarchical flagship encode: {best*1e3:.1f} ms for {FNB*FB} "
+        f"2-level 16k blocks -> {hier_flag_mbps:.1f} MB/s")
+
     # ---- dictionary learning: device-resident k-means refinement ----------
     from hsc_tpu.learn.kmeans import kmeans_refine_device
 
@@ -276,6 +309,7 @@ def main():
         "decode_integer_mb_s": round(decode_mbps, 2),
         "decode_ordered_mb_s": round(odec_mbps, 2),
         "encode_hier_mb_s": round(hier_mbps, 2),
+        "encode_hier_flagship_mb_s": round(hier_flag_mbps, 2),
         "learn_mwindows_s": round(learn_rate, 2),
         "platform": "tpu" if on_tpu else "cpu (relay outage fallback)",
     }))

@@ -111,6 +111,16 @@ class CodecConfig:
             raise ValueError("counts and scales must have the same length")
         if len(self.num_coefs) != len(self.counts):
             raise ValueError("num_coefs must have one entry per level")
+        # hostile-header hardening (container configs are untrusted input —
+        # the mutation fuzz drives these): every level needs at least one
+        # atom and a non-negative budget, and the layer widths must be
+        # positive before any derived-geometry arithmetic runs on them
+        if any(c < 1 for c in self.counts):
+            raise ValueError("counts must all be >= 1")
+        if any(n < 0 for n in self.num_coefs):
+            raise ValueError("num_coefs must all be >= 0")
+        if any(s < 1 for s in self.scales):
+            raise ValueError("scales must all be >= 1")
         if any(b <= a for a, b in zip(self.scales, self.scales[1:])):
             raise ValueError("scales must be strictly increasing")
         if not (2 <= self.amp_bits <= 16):

@@ -113,6 +113,40 @@ def main():
     print(f"serving rows byte-identical to stream: {ok}", file=sys.stderr)
     assert ok
 
+    # ---- encode serving latency (VERDICT r4 #6): single-block and
+    # single-batch encode through the production 3-stage path, with the
+    # relay's fixed dispatch+fetch round trip measured separately so a
+    # local-host reader can subtract it (the encode path pays it twice:
+    # once for the peak fetch, once for the stream fetch) ---------------
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda v: v + 1)
+    _ = jax.device_get(trivial(jnp.float32(0)))
+    ts = []
+    for _i in range(12):
+        t0 = time.perf_counter()
+        _ = jax.device_get(trivial(jnp.float32(_i)))
+        ts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(np.array(ts) * 1e3))
+
+    mp = codec.coder.coders[0].mp
+    enc_lat = {}
+    for bsz in (1, 8):
+        xb = jnp.asarray(xs[:bsz])[:, :, None]
+        _ = mp.compute_coefficients_batch(xb)  # warm (compile)
+        ts = []
+        for _i in range(12):
+            t0 = time.perf_counter()
+            enc = mp.compute_coefficients_batch(xb)
+            _ = np.asarray(jax.device_get(enc.count))
+            ts.append(time.perf_counter() - t0)
+        enc_lat[bsz] = np.array(ts) * 1e3
+    print(
+        f"encode latency b=1: {np.median(enc_lat[1]):.1f} ms median "
+        f"(rtt {rtt_ms:.1f} ms x2 round trips)", file=sys.stderr,
+    )
+
     out = {
         "blocks": nb,
         "entropy": args.entropy,
@@ -121,6 +155,12 @@ def main():
         "seek_ms_p90": round(float(np.percentile(t_idx, 90)), 2),
         "seek_scan_ms_median": round(float(np.median(t_scan)), 2),
         "stream_mb_s": round(stream_mb_s, 1),
+        "encode_latency_ms_b1": round(float(np.median(enc_lat[1])), 2),
+        "encode_latency_ms_b1_p90": round(
+            float(np.percentile(enc_lat[1], 90)), 2
+        ),
+        "encode_latency_ms_b8": round(float(np.median(enc_lat[8])), 2),
+        "relay_rtt_ms": round(rtt_ms, 2),
     }
     print(json.dumps(out))
 
