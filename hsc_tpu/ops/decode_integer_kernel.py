@@ -74,6 +74,7 @@ def _int_decode_kernel(
     nq: int,
     nq_rows: int,
     m: int,
+    wpad: int,
 ):
     kp = rep0_ref.shape[1]
     atoms = atom_ref[0]  # [1, M]
@@ -131,6 +132,15 @@ def _int_decode_kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nq_rows, w), 0)
     hi_prev = jnp.where(row_ids == 0, 0, pltpu.roll(hi, 1, 0))
     folded = lo + hi_prev  # row q covers samples [W*q, W*q + W)
+    if wpad != w:
+        # lane-pad the store: a W-lane out block is only Mosaic-tileable
+        # when W divides the 128-lane tile (or is a multiple of it) —
+        # round-5 container fuzz found non-power-of-two W (33/40/48/59)
+        # silently mis-lowering the store on hardware while W in {32, 64,
+        # 96} worked; interpret mode cannot see it.  Callers slice the pad.
+        folded = jnp.concatenate(
+            [folded, jnp.zeros((nq_rows, wpad - w), jnp.int32)], axis=1
+        )
     out_ref[0, :, :] = folded.astype(jnp.float32) * step_ref[0, 0, 0]
 
 
@@ -162,10 +172,22 @@ def mp_decode_integer_pallas(
     # one extra row catches the last bucket's overlap spill; int8 mask rows
     # tile at 32 sublanes
     nq_rows = _round_up(nq + 1, 32)
-    h = _round_up(2 * w, 8)
+    # H to a multiple of 64 (not just 8): the round-5 hardware bisect
+    # (BASELINE "container fuzz") mapped the mis-lowering envelope of the
+    # shift/bucket pipeline — h in {64, 128, 192} is correct, h in {72,
+    # 80, 96, 120} silently corrupts on hardware (interpret mode cannot
+    # see it), i.e. the sublane roll over [H, M] wants whole 8-vreg
+    # groups.  Zero padding, so the integers are unchanged.
+    h = _round_up(2 * w, 64)
     m = _round_up(m_in, 128)
     kp = _round_up(k, 128)
     w8 = _round_up(w, 8)
+    # out-block lane width, padded to a multiple of 32: round-5 container
+    # fuzz found W in {33, 40, 48, 59} mis-lowering the store on hardware
+    # (silent wrong values) while W in {32, 64, 96} is correct — the
+    # empirical safe envelope is multiple-of-32 lane widths.  Callers
+    # slice the pad off.
+    wpad = _round_up(w, 32)
 
     # ---- XLA-side event preprocessing (cheap, fused) -----------------------
     if m != m_in:
@@ -193,7 +215,8 @@ def mp_decode_integer_pallas(
     rep1 = jnp.zeros((w8, kp), jnp.int8).at[:w, :k].set(d1.T.astype(jnp.int8))
 
     kernel = functools.partial(
-        _int_decode_kernel, w=w, k=k, h=h, nq=nq, nq_rows=nq_rows, m=m
+        _int_decode_kernel, w=w, k=k, h=h, nq=nq, nq_rows=nq_rows, m=m,
+        wpad=wpad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -211,7 +234,8 @@ def mp_decode_integer_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, nq_rows, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nq_rows, wpad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
     )
@@ -227,7 +251,7 @@ def mp_decode_integer_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, nq_rows, w), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b, nq_rows, wpad), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(est * 1.6) + (4 << 20), 110 << 20)
@@ -236,7 +260,7 @@ def mp_decode_integer_pallas(
         q, r, cz, atoms,
         amp_step[:, None, None].astype(jnp.float32), rep0, rep1
     )[0]
-    return out.reshape(b, nq_rows * w)[:, :n, None]
+    return out[:, :, :w].reshape(b, nq_rows * w)[:, :n, None]
 
 
 def pallas_integer_decode_ok(rep_q, m: int, n: int) -> bool:
@@ -247,7 +271,7 @@ def pallas_integer_decode_ok(rep_q, m: int, n: int) -> bool:
         return False
     npos = n - w + 1
     nq_rows = _round_up(-(-npos // w) + 1, 32)
-    h = _round_up(2 * w, 8)
+    h = _round_up(2 * w, 64)
     mp = _round_up(m, 128)
     est = nq_rows * mp + 4 * h * mp + nq_rows * 4 * h * 4 + 3 * h * mp * 4
     return est < (48 << 20)

@@ -182,6 +182,86 @@ def run_hier_shape(seed: int) -> dict:
     )
 
 
+def run_container_shape(seed: int) -> dict:
+    """Random geometry through the FULL container path on chip (VERDICT r4
+    #7): TPU encode -> pack (entropy / distributed / CBR sampled) ->
+    TPU decode AND subprocess CPU decode of the same container — decode
+    byte-identity across backends is the format's core contract, here
+    under random geometries instead of the parity script's fixed ones.
+    Also asserts re-encode determinism (same container bytes twice)."""
+    import subprocess
+    import tempfile
+
+    from hsc_tpu.runtime import CorpusEncoder
+
+    rng = np.random.default_rng(seed)
+    two_level = rng.random() < 0.5
+    kw = sample_hier_shape(rng) if two_level else sample_shape(rng)
+    kw.pop("tolerance_snr", None)
+    entropy = str(rng.choice(["fixed", "rice"]))
+    cfg = make_test_config(**kw, entropy=entropy)
+    distributed = bool(two_level and rng.random() < 0.5)
+    # CBR sampled: None / per-block / corpus at a truncating-ish rate
+    mode_pick = rng.random()
+    target_bps, rate_mode = None, "block"
+    if mode_pick < 0.4:
+        target_bps = float(rng.uniform(0.2, 1.5))
+        rate_mode = "corpus" if rng.random() < 0.5 else "block"
+    mld = MultilevelDictionary.generate(cfg, seed=seed + 31)
+    gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 8e-3)))
+    xs = gen.generate_signals(3, cfg.block_size, seed=seed)
+    enc = CorpusEncoder(
+        mld, batch_size=3, distributed=distributed,
+        target_bps=target_bps, rate_mode=rate_mode,
+    )
+    use_index = bool(rng.random() < 0.5)
+    t0 = time.time()
+    try:
+        blob = enc.encode(xs, index=use_index)
+    except ValueError as e:
+        if target_bps is not None and "floor" in str(e):
+            # sampled rate below the empty-stream floor — resample as VBR
+            enc = CorpusEncoder(mld, batch_size=3, distributed=distributed)
+            target_bps, rate_mode = None, "block"
+            blob = enc.encode(xs, index=use_index)
+        else:
+            raise
+    det = enc.encode(xs, index=use_index) == blob
+    dec_tpu = enc.decode(blob)
+    dt = time.time() - t0
+    with tempfile.TemporaryDirectory() as td:
+        mld.save(os.path.join(td, "d.npz"))
+        with open(os.path.join(td, "c.hsct"), "wb") as f:
+            f.write(blob)
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "hsc_codec.py"),
+                "decode", "--dict", os.path.join(td, "d.npz"),
+                "--input", os.path.join(td, "c.hsct"),
+                "--output", os.path.join(td, "r.npy"),
+                "--backend", "jax", "--platform", "cpu",
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        if r.returncode != 0:
+            return dict(seed=seed, ok=False, err=r.stderr[-400:],
+                        container=True)
+        dec_cpu = np.load(os.path.join(td, "r.npy"))
+    ok = bool(
+        det
+        and dec_cpu.shape == dec_tpu.shape
+        and dec_cpu.tobytes() == np.asarray(dec_tpu).tobytes()
+    )
+    return dict(
+        seed=seed, ok=ok, compile_run_s=round(dt, 1),
+        counts=kw["counts"], scales=kw["scales"], block=kw["block_size"],
+        entropy=entropy, distributed=distributed,
+        target_bps=None if target_bps is None else round(target_bps, 3),
+        rate_mode=rate_mode, container=True,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--shapes", type=int, default=4)
@@ -189,15 +269,26 @@ def main():
     ap.add_argument("--hierarchical", action="store_true",
                     help="fuzz random 2-level hierarchies (fused kernel per "
                     "level + feature-map hand-off) instead of single-level")
+    ap.add_argument("--container", action="store_true",
+                    help="fuzz the full container path (pack -> TPU decode "
+                    "== subprocess CPU decode byte-identity) with entropy, "
+                    "--distributed and --target-bps/rate-mode sampled")
     args = ap.parse_args()
     results = []
     for i in range(args.shapes):
-        run = run_hier_shape if args.hierarchical else run_shape
+        if args.container:
+            run = run_container_shape
+        elif args.hierarchical:
+            run = run_hier_shape
+        else:
+            run = run_shape
         r = run(args.base_seed * 1000 + i)
         results.append(r)
         print(json.dumps(r), flush=True)
     n_ok = sum(r["ok"] for r in results)
-    print(f"{n_ok}/{len(results)} shapes bitwise vs pinned oracle")
+    what = ("container decode byte-identity" if args.container
+            else "shapes bitwise vs pinned oracle")
+    print(f"{n_ok}/{len(results)} {what}")
     return 0 if n_ok == len(results) else 1
 
 
