@@ -228,7 +228,7 @@ def main():
     hcoder = HierarchicalConvolutionalSparseCoder(
         hmld, backend="pallas" if on_tpu else "jax"
     )
-    HNB = 16 if on_tpu else 2
+    HNB = 32 if on_tpu else 2
     hbatches = [hxb] * HNB
 
     def run_hier():
@@ -261,7 +261,7 @@ def main():
     fcoder = HierarchicalConvolutionalSparseCoder(
         fmld, backend="pallas" if on_tpu else "jax"
     )
-    FNB = 8 if on_tpu else 2
+    FNB = 16 if on_tpu else 2
     fbatches = [fxb] * FNB
 
     def run_hier_flagship():

@@ -327,6 +327,38 @@ def main():
         int_dev.tobytes() == int_ref.tobytes(),
     )
 
+    # ---- 5b. integer-decode kernel at non-multiple-of-64 buffer heights ---
+    # Regression pin for the round-5 silent-corruption bug: W in {33, 48,
+    # 59} drive h = roundup(2W, 64) through the previously mis-lowering
+    # envelope (h would be 72/96/120 under the old roundup-8 rule); the
+    # fixed parity widths (32/64/96) sat entirely in the safe set, which
+    # is how the bug survived three rounds.  Kernel vs XLA, bitwise.
+    from hsc_tpu.ops.decode import mp_decode_integer_batch_jax
+    from hsc_tpu.ops.decode_integer_kernel import mp_decode_integer_pallas
+
+    drng = np.random.default_rng(99)
+    ok = True
+    t0 = time.time()
+    for wdec in (33, 48, 59):
+        kdec, ndec, mdec = 24, 3000, 96
+        nposd = ndec - wdec + 1
+        dpos = drng.integers(0, nposd, (2, mdec)).astype(np.int32)
+        datm = drng.integers(0, kdec, (2, mdec)).astype(np.int32)
+        dcds = drng.integers(-32767, 32768, (2, mdec)).astype(np.int32)
+        dcnt = np.array([mdec, mdec // 2], np.int32)
+        dstp = np.float32([1e-4, 2e-4])
+        drep = drng.integers(-2047, 2048, (kdec, wdec, 1)).astype(np.int32)
+        da = (jnp.asarray(dpos), jnp.asarray(datm), jnp.asarray(dcds),
+              jnp.asarray(dcnt), jnp.asarray(dstp), jnp.asarray(drep))
+        dk = np.asarray(jax.device_get(mp_decode_integer_pallas(*da, n=ndec)))
+        dx = np.asarray(
+            jax.device_get(mp_decode_integer_batch_jax(*da, n=ndec))
+        )
+        ok &= dk.tobytes() == dx.tobytes()
+    print(f"odd-W integer decode: {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+    check("integer-decode kernel at W=33/48/59 == XLA path (bitwise)", ok)
+
     # ---- 6. three-level hierarchy on hardware -----------------------------
     cfg3 = make_test_config(
         counts=(16, 8, 4), scales=(16, 48, 112),
