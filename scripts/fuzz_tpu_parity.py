@@ -207,7 +207,21 @@ def run_container_shape(seed: int) -> dict:
     if mode_pick < 0.4:
         target_bps = float(rng.uniform(0.2, 1.5))
         rate_mode = "corpus" if rng.random() < 0.5 else "block"
-    mld = MultilevelDictionary.generate(cfg, seed=seed + 31)
+    # some sampled geometries cannot generate a dictionary (the coherence
+    # rejection sampler exhausts, e.g. many atoms over a tiny window) —
+    # deterministically resample the shape rather than abort the sweep
+    for attempt in range(8):
+        try:
+            mld = MultilevelDictionary.generate(cfg, seed=seed + 31)
+            break
+        except RuntimeError:
+            two_level = rng.random() < 0.5
+            kw = sample_hier_shape(rng) if two_level else sample_shape(rng)
+            kw.pop("tolerance_snr", None)
+            cfg = make_test_config(**kw, entropy=entropy)
+    else:
+        return dict(seed=seed, ok=False, err="no generatable geometry",
+                    container=True)
     gen = SignalGenerator(mld, rates=float(rng.uniform(2e-3, 8e-3)))
     xs = gen.generate_signals(3, cfg.block_size, seed=seed)
     enc = CorpusEncoder(
