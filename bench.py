@@ -232,7 +232,12 @@ def main():
     hbatches = [hxb] * HNB
 
     def run_hier():
-        outs = encode_hierarchical_batches_pipelined(hbatches, hcoder)
+        # window=8: the round-5 A/B measured 100.1 / 103.5 / 105.9 MB/s at
+        # windows 4 / 8 / 16 on this config; 8 keeps the score-buffer
+        # footprint modest (~1.6 GB/level) for most of the win
+        outs = encode_hierarchical_batches_pipelined(
+            hbatches, hcoder, window=8
+        )
         return jax.device_get([e.count for e in outs[-1]])
 
     t0 = time.perf_counter()

@@ -827,6 +827,39 @@ def test_corpus_rate_mode_distributed(mld2):
     assert np.isfinite(dec).all()
 
 
+def test_cbr_containers_serve_everywhere(tmp_path, mld1):
+    """CBR containers (both rate modes) are ordinary containers: the
+    streaming decoder, seek-index random access, and the mmap CorpusReader
+    all serve rows byte-identical to the full decode."""
+    from hsc_tpu.runtime import CorpusReader
+
+    xs = _hetero_corpus(mld1, nb=4, seed=95)
+    for rate_mode in ("block", "corpus"):
+        enc = CorpusEncoder(
+            mld1, backend="jax", batch_size=2, target_bps=0.4,
+            rate_mode=rate_mode,
+        )
+        blob = enc.encode(xs, index=True)
+        full = enc.decode(blob)
+        streamed = np.concatenate(
+            [r[None] for r in enc.decode_stream(blob)], axis=0
+        )
+        assert streamed.tobytes() == full.tobytes()
+        sel = enc.decode_blocks(blob, [2, 0])
+        assert sel[0].tobytes() == full[2].tobytes()
+        assert sel[1].tobytes() == full[0].tobytes()
+        p = tmp_path / f"s_{rate_mode}.hsct"
+        p.write_bytes(blob)
+        rd = CorpusReader(str(p), mld1, backend="jax", batch_size=2)
+        try:
+            assert rd[1].tobytes() == full[1].tobytes()
+            assert np.stack(list(rd.rows(1, 3))).tobytes() == (
+                full[1:3].tobytes()
+            )
+        finally:
+            rd.close()
+
+
 def test_journal_fingerprint_roundtrip(mld1):
     """The one builder/parser pair for the journal resume fingerprint:
     round trip over every flag combination, and int-typed rates fingerprint
